@@ -1,0 +1,317 @@
+"""Multimodal host-side utilities: image preprocessing and image-token splicing.
+
+Behavioral parity with the reference (cambrian/mm_utils.py):
+- ``expand2square`` (:153-164) pads to square with the per-tower mean color.
+- ``process_images`` (:186-201) runs per-tower pad-to-square + resize +
+  normalize, returning one batched array per tower. Ours returns numpy
+  ``float32`` NCHW arrays; device placement/dtype casting is the caller's job
+  (the reference eagerly did ``.half().cuda()``).
+- ``tokenizer_image_token`` / ``tokenizer_image_token_llama3`` (:204-240)
+  splice ``IMAGE_TOKEN_INDEX`` (-200) between tokenized prompt chunks.
+
+The preprocessing here is the *host* (PIL) path used for single-image
+inference/serving; the high-throughput training pipeline uses the jitted XLA
+equivalent in ``cambrian_tpu.data.image_pipeline``.
+"""
+
+import base64
+from dataclasses import dataclass, field
+from io import BytesIO
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def load_image_from_base64(image):
+    from PIL import Image
+
+    return Image.open(BytesIO(base64.b64decode(image)))
+
+
+def expand2square(pil_img, background_color):
+    """Pad to square, centering the image (reference mm_utils.py:153-164)."""
+    from PIL import Image
+
+    width, height = pil_img.size
+    if width == height:
+        return pil_img
+    elif width > height:
+        result = Image.new(pil_img.mode, (width, width), background_color)
+        result.paste(pil_img, (0, (width - height) // 2))
+        return result
+    else:
+        result = Image.new(pil_img.mode, (height, height), background_color)
+        result.paste(pil_img, ((height - width) // 2, 0))
+        return result
+
+
+_PIL_RESAMPLE = {"bicubic": 3, "bilinear": 2, "nearest": 0, "lanczos": 1}
+
+
+@dataclass
+class ImageProcessor:
+    """Per-tower image normalizer with the HF image-processor interface subset
+    the framework relies on (crop_size / image_mean / preprocess).
+
+    Matches HF CLIPImageProcessor semantics for a square input of exactly
+    ``crop_size``: resize (no-op), center-crop (no-op), rescale 1/255,
+    normalize (x - mean) / std, HWC -> CHW.
+    """
+
+    size: int = 336
+    image_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    image_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
+    resample: str = "bicubic"
+    rescale_factor: float = 1.0 / 255.0
+
+    @property
+    def crop_size(self):
+        return {"height": self.size, "width": self.size}
+
+    def resize(self, pil_img):
+        if pil_img.size != (self.size, self.size):
+            pil_img = pil_img.resize((self.size, self.size), _PIL_RESAMPLE[self.resample])
+        return pil_img
+
+    def preprocess(self, pil_img, return_tensors: Optional[str] = None):
+        pil_img = self.resize(pil_img.convert("RGB"))
+        arr = np.asarray(pil_img, dtype=np.float32) * self.rescale_factor
+        mean = np.asarray(self.image_mean, dtype=np.float32)
+        std = np.asarray(self.image_std, dtype=np.float32)
+        arr = (arr - mean) / std
+        arr = arr.transpose(2, 0, 1)  # HWC -> CHW
+        return {"pixel_values": arr[None]}
+
+
+# Standard normalizations for the production towers.
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
+
+
+def process_images(images: Sequence, image_processor: Sequence[ImageProcessor], model_cfg=None):
+    """Multi-tower preprocessing (reference mm_utils.py:186-201).
+
+    Args:
+        images: list of PIL images.
+        image_processor: list of per-tower processors.
+
+    Returns:
+        list (len = num towers) of float32 numpy arrays [B, 3, H_i, W_i].
+    """
+    new_images_aux_list = []
+    for image in images:
+        # Eval datasets contain L/P/RGBA images; the per-tower mean fill is RGB.
+        if getattr(image, "mode", "RGB") != "RGB":
+            image = image.convert("RGB")
+        image_aux_list = []
+        for processor_aux in image_processor:
+            image_aux = image
+            if hasattr(processor_aux, "image_mean"):
+                target_resolution = processor_aux.crop_size["height"]
+                image_aux = expand2square(
+                    image_aux, tuple(int(x * 255) for x in processor_aux.image_mean)
+                ).resize((target_resolution, target_resolution))
+            image_aux = processor_aux.preprocess(image_aux, return_tensors="np")["pixel_values"][0]
+            image_aux_list.append(image_aux)
+        new_images_aux_list.append(image_aux_list)
+    # transpose [batch][tower] -> [tower][batch], stack per tower
+    new_images_aux_list = [list(batch) for batch in zip(*new_images_aux_list)]
+    return [np.stack(image_aux).astype(np.float32) for image_aux in new_images_aux_list]
+
+
+from .constants import IMAGE_TOKEN_INDEX  # noqa: E402  (after numpy-only block)
+
+
+def tokenizer_image_token(prompt, tokenizer, image_token_index=IMAGE_TOKEN_INDEX,
+                          return_tensors=None):
+    """Tokenize a prompt containing ``<image>`` markers, splicing the image
+    token index between chunks (reference mm_utils.py:204-223). The BOS token
+    of the first chunk is kept; per-chunk BOS repeats are dropped."""
+    prompt_chunks = [tokenizer(chunk).input_ids for chunk in prompt.split("<image>")]
+
+    def insert_separator(X, sep):
+        return [ele for sublist in zip(X, [sep] * len(X)) for ele in sublist][:-1]
+
+    input_ids = []
+    offset = 0
+    if (
+        len(prompt_chunks) > 0
+        and len(prompt_chunks[0]) > 0
+        and prompt_chunks[0][0] == tokenizer.bos_token_id
+    ):
+        offset = 1
+        input_ids.append(prompt_chunks[0][0])
+
+    for x in insert_separator(prompt_chunks, [image_token_index] * (offset + 1)):
+        input_ids.extend(x[offset:])
+
+    if return_tensors is not None:
+        if return_tensors in ("np", "jax"):
+            return np.asarray(input_ids, dtype=np.int32)
+        raise ValueError(f"Unsupported tensor type: {return_tensors}")
+    return input_ids
+
+
+def tokenizer_image_token_llama3(prompt, tokenizer, image_token_index=IMAGE_TOKEN_INDEX,
+                                 return_tensors=None):
+    """LLaMA-3 variant without the BOS offset logic (mm_utils.py:226-240)."""
+    prompt_chunks = [tokenizer(chunk).input_ids for chunk in prompt.split("<image>")]
+
+    def insert_separator(X, sep):
+        return [ele for sublist in zip(X, [sep] * len(X)) for ele in sublist][:-1]
+
+    input_ids = []
+    for x in insert_separator(prompt_chunks, [image_token_index]):
+        input_ids.extend(x)
+
+    if return_tensors is not None:
+        if return_tensors in ("np", "jax"):
+            return np.asarray(input_ids, dtype=np.int32)
+        raise ValueError(f"Unsupported tensor type: {return_tensors}")
+    return input_ids
+
+
+def get_model_name_from_path(model_path):
+    model_path = model_path.strip("/")
+    model_paths = model_path.split("/")
+    if model_paths[-1].startswith("checkpoint-"):
+        return model_paths[-2] + "_" + model_paths[-1]
+    else:
+        return model_paths[-1]
+
+
+class KeywordsStoppingCriteria:
+    """Stop generation when any keyword appears at the tail of the decoded
+    output (reference mm_utils.py:252-284). Framework-agnostic: operates on
+    numpy/int sequences produced by our decode loop."""
+
+    def __init__(self, keywords, tokenizer, input_ids):
+        self.keywords = keywords
+        self.keyword_ids = []
+        self.max_keyword_len = 0
+        for keyword in keywords:
+            cur_keyword_ids = tokenizer(keyword).input_ids
+            if len(cur_keyword_ids) > 1 and cur_keyword_ids[0] == tokenizer.bos_token_id:
+                cur_keyword_ids = cur_keyword_ids[1:]
+            self.max_keyword_len = max(self.max_keyword_len, len(cur_keyword_ids))
+            self.keyword_ids.append(np.asarray(cur_keyword_ids))
+        self.tokenizer = tokenizer
+        input_ids = np.atleast_2d(np.asarray(input_ids))
+        self.start_len = input_ids.shape[1]
+
+    def call_for_batch(self, output_ids) -> bool:
+        output_ids = np.atleast_2d(np.asarray(output_ids))
+        offset = min(output_ids.shape[1] - self.start_len, self.max_keyword_len)
+        for keyword_id in self.keyword_ids:
+            if output_ids.shape[1] >= keyword_id.shape[0] and np.array_equal(
+                output_ids[0, -keyword_id.shape[0]:], keyword_id
+            ):
+                return True
+        if offset > 0:
+            outputs = self.tokenizer.batch_decode(
+                output_ids[:, -offset:], skip_special_tokens=True
+            )[0]
+            for keyword in self.keywords:
+                if keyword in outputs:
+                    return True
+        return False
+
+    def __call__(self, output_ids) -> bool:
+        output_ids = np.atleast_2d(np.asarray(output_ids))
+        return all(
+            self.call_for_batch(output_ids[i : i + 1]) for i in range(output_ids.shape[0])
+        )
+
+
+# ---------------------------------------------------------------------------
+# anyres helpers (reference mm_utils.py:13-146; unused on the main path but
+# part of the public API surface)
+# ---------------------------------------------------------------------------
+
+def select_best_resolution(original_size, possible_resolutions):
+    original_width, original_height = original_size
+    best_fit = None
+    max_effective_resolution = 0
+    min_wasted_resolution = float("inf")
+    for width, height in possible_resolutions:
+        scale = min(width / original_width, height / original_height)
+        downscaled_width = int(original_width * scale)
+        downscaled_height = int(original_height * scale)
+        effective_resolution = min(
+            downscaled_width * downscaled_height, original_width * original_height
+        )
+        wasted_resolution = (width * height) - effective_resolution
+        if effective_resolution > max_effective_resolution or (
+            effective_resolution == max_effective_resolution
+            and wasted_resolution < min_wasted_resolution
+        ):
+            max_effective_resolution = effective_resolution
+            min_wasted_resolution = wasted_resolution
+            best_fit = (width, height)
+    return best_fit
+
+
+def resize_and_pad_image(image, target_resolution):
+    import math
+
+    from PIL import Image
+
+    original_width, original_height = image.size
+    target_width, target_height = target_resolution
+    scale_w = target_width / original_width
+    scale_h = target_height / original_height
+    if scale_w < scale_h:
+        new_width = target_width
+        new_height = min(math.ceil(original_height * scale_w), target_height)
+    else:
+        new_height = target_height
+        new_width = min(math.ceil(original_width * scale_h), target_width)
+    resized_image = image.resize((new_width, new_height))
+    new_image = Image.new("RGB", (target_width, target_height), (0, 0, 0))
+    new_image.paste(
+        resized_image,
+        ((target_width - new_width) // 2, (target_height - new_height) // 2),
+    )
+    return new_image
+
+
+def divide_to_patches(image, patch_size):
+    patches = []
+    width, height = image.size
+    for i in range(0, height, patch_size):
+        for j in range(0, width, patch_size):
+            patches.append(image.crop((j, i, j + patch_size, i + patch_size)))
+    return patches
+
+
+def get_anyres_image_grid_shape(image_size, grid_pinpoints, patch_size):
+    import ast
+
+    possible_resolutions = (
+        grid_pinpoints if isinstance(grid_pinpoints, list) else ast.literal_eval(grid_pinpoints)
+    )
+    width, height = select_best_resolution(image_size, possible_resolutions)
+    return width // patch_size, height // patch_size
+
+
+def process_anyres_image(image, processor, grid_pinpoints):
+    import ast
+
+    possible_resolutions = (
+        grid_pinpoints if isinstance(grid_pinpoints, list) else ast.literal_eval(grid_pinpoints)
+    )
+    best_resolution = select_best_resolution(image.size, possible_resolutions)
+    image_padded = resize_and_pad_image(image, best_resolution)
+    patches = divide_to_patches(image_padded, processor.crop_size["height"])
+    shortest = getattr(processor, "size", None)
+    edge = shortest["shortest_edge"] if isinstance(shortest, dict) else processor.size
+    image_original_resize = image.resize((edge, edge))
+    image_patches = [image_original_resize] + patches
+    arrs = [
+        processor.preprocess(p, return_tensors="np")["pixel_values"][0] for p in image_patches
+    ]
+    return np.stack(arrs, axis=0)

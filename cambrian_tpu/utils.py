@@ -1,0 +1,118 @@
+"""Logging and misc utilities (reference: cambrian/utils.py).
+
+The reference's ``IS_XLA_AVAILABLE`` flag forked the whole model core into
+training (static-shape) and inference (dynamic) paths; this framework has one
+static-shape path, so no such flag exists here.
+"""
+
+import logging
+import logging.handlers
+import os
+import sys
+
+LOGDIR = "."
+
+handler = None
+
+server_error_msg = (
+    "**NETWORK ERROR DUE TO HIGH TRAFFIC. PLEASE REGENERATE OR REFRESH THIS PAGE.**"
+)
+moderation_msg = (
+    "YOUR INPUT VIOLATES OUR CONTENT MODERATION GUIDELINES. PLEASE TRY AGAIN."
+)
+
+
+def build_logger(logger_name, logger_filename):
+    """File+stdout logger (reference cambrian/utils.py:25-66)."""
+    global handler
+
+    formatter = logging.Formatter(
+        fmt="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+        datefmt="%Y-%m-%d %H:%M:%S",
+    )
+
+    if not logging.getLogger().handlers:
+        logging.basicConfig(level=logging.INFO)
+    logging.getLogger().handlers[0].setFormatter(formatter)
+
+    logger = logging.getLogger(logger_name)
+    logger.setLevel(logging.INFO)
+
+    if handler is None:
+        os.makedirs(LOGDIR, exist_ok=True)
+        filename = os.path.join(LOGDIR, logger_filename)
+        handler = logging.handlers.TimedRotatingFileHandler(
+            filename, when="D", utc=True, encoding="utf-8"
+        )
+        handler.setFormatter(formatter)
+        for name, item in logging.root.manager.loggerDict.items():
+            if isinstance(item, logging.Logger):
+                item.addHandler(handler)
+
+    return logger
+
+
+class StreamToLogger:
+    """Fake file-like stream that redirects writes to a logger
+    (reference cambrian/utils.py:68-98)."""
+
+    def __init__(self, logger, log_level=logging.INFO):
+        self.terminal = sys.stdout
+        self.logger = logger
+        self.log_level = log_level
+        self.linebuf = ""
+
+    def __getattr__(self, attr):
+        return getattr(self.terminal, attr)
+
+    def write(self, buf):
+        temp_linebuf = self.linebuf + buf
+        self.linebuf = ""
+        for line in temp_linebuf.splitlines(True):
+            if line[-1] == "\n":
+                self.logger.log(self.log_level, line.rstrip())
+            else:
+                self.linebuf += line
+
+    def flush(self):
+        if self.linebuf != "":
+            self.logger.log(self.log_level, self.linebuf.rstrip())
+        self.linebuf = ""
+
+
+def disable_torch_init():
+    """No-op kept for API parity (reference cambrian/utils.py:101-108).
+
+    JAX modules have explicit initializers; there is nothing to disable."""
+    return None
+
+
+def violates_moderation(text):
+    """OpenAI moderation hook used by the Gradio server
+    (reference cambrian/utils.py:111-126). Returns False when no API key or
+    network is available."""
+    import json
+
+    api_key = os.environ.get("OPENAI_API_KEY")
+    if not api_key:
+        return False
+    try:
+        import requests
+
+        url = "https://api.openai.com/v1/moderations"
+        headers = {
+            "Content-Type": "application/json",
+            "Authorization": "Bearer " + api_key,
+        }
+        text = text.replace("\n", "")
+        data = json.dumps({"input": text}).encode("utf-8")
+        ret = requests.post(url, headers=headers, data=data, timeout=5)
+        return ret.json()["results"][0]["flagged"]
+    except Exception:
+        return False
+
+
+def pretty_print_semaphore(semaphore):
+    if semaphore is None:
+        return "None"
+    return f"Semaphore(value={semaphore._value}, locked={semaphore.locked()})"

@@ -1,0 +1,230 @@
+"""HF/torch -> Flax weight converters for the vision towers.
+
+Input is a flat ``{name: numpy array}`` state dict (call ``.numpy()`` on torch
+tensors or load safetensors directly); output is the params pytree of the
+corresponding Flax module in ``models/encoders``.
+
+Covered checkpoints (the production 4-tower ensemble, SURVEY.md §2.3):
+- openai/clip-vit-large-patch14-336 (CLIPVisionModel)
+- google/siglip-so400m-patch14-384 (SiglipVisionModel; weight-compatible with
+  the open_clip ViT-SO400M-14-SigLIP-384 the reference loads)
+- facebook/dinov2-giant (Dinov2Model), incl. position-embedding resampling
+  for -res overrides (dino_encoder.py:11-37)
+- ConvNeXt trunks in HF (ConvNextModel) or timm/open_clip naming
+"""
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..models.encoders.convnext import ConvNeXtConfig
+from ..models.encoders.vit import ViTConfig
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv [out, in, kh, kw] -> flax [kh, kw, in, out]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense(sd, prefix):
+    out = {"kernel": sd[f"{prefix}.weight"].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def interpolate_patch_pos_embed(pos: np.ndarray, old_side: int, new_side: int) -> np.ndarray:
+    """Bicubic (antialiased) resample of a square patch position-embedding
+    grid — matches HF's interpolate_pos_encoding for DINOv2 at non-native
+    resolutions."""
+    import jax
+    import jax.numpy as jnp
+
+    c = pos.shape[-1]
+    grid = jnp.asarray(pos, jnp.float32).reshape(old_side, old_side, c)
+    out = jax.image.resize(grid, (new_side, new_side, c), method="bicubic", antialias=True)
+    return np.asarray(out.reshape(new_side * new_side, c))
+
+
+def convert_clip_vision(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
+    """CLIPVisionModel -> VisionTransformer params (pre_layernorm variant)."""
+    p = "vision_model."
+    if not any(k.startswith(p) for k in sd):
+        p = ""
+    params = {
+        "patch_embed": {"kernel": _conv_kernel(sd[f"{p}embeddings.patch_embedding.weight"])},
+        "cls_token": sd[f"{p}embeddings.class_embedding"].reshape(1, 1, -1),
+        "pos_embed": sd[f"{p}embeddings.position_embedding.weight"],
+        "pre_layernorm": _ln(sd, f"{p}pre_layrnorm"),
+    }
+    if f"{p}embeddings.patch_embedding.bias" in sd:
+        params["patch_embed"]["bias"] = sd[f"{p}embeddings.patch_embedding.bias"]
+    for i in range(cfg.num_blocks_to_run):
+        lp = f"{p}encoder.layers.{i}."
+        params[f"blocks_{i}"] = {
+            "norm1": _ln(sd, lp + "layer_norm1"),
+            "attn": {
+                "q_proj": _dense(sd, lp + "self_attn.q_proj"),
+                "k_proj": _dense(sd, lp + "self_attn.k_proj"),
+                "v_proj": _dense(sd, lp + "self_attn.v_proj"),
+                "out_proj": _dense(sd, lp + "self_attn.out_proj"),
+            },
+            "norm2": _ln(sd, lp + "layer_norm2"),
+            "mlp": {"fc1": _dense(sd, lp + "mlp.fc1"), "fc2": _dense(sd, lp + "mlp.fc2")},
+        }
+    if cfg.num_blocks_to_run == cfg.num_layers and cfg.final_layernorm:
+        params["final_layernorm"] = _ln(sd, f"{p}post_layernorm")
+    return params
+
+
+def convert_siglip_vision(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
+    """SiglipVisionModel -> VisionTransformer params (no class token)."""
+    p = "vision_model."
+    if not any(k.startswith(p) for k in sd):
+        p = ""
+    params = {
+        "patch_embed": {
+            "kernel": _conv_kernel(sd[f"{p}embeddings.patch_embedding.weight"]),
+            "bias": sd[f"{p}embeddings.patch_embedding.bias"],
+        },
+        "pos_embed": sd[f"{p}embeddings.position_embedding.weight"],
+    }
+    for i in range(cfg.num_blocks_to_run):
+        lp = f"{p}encoder.layers.{i}."
+        params[f"blocks_{i}"] = {
+            "norm1": _ln(sd, lp + "layer_norm1"),
+            "attn": {
+                "q_proj": _dense(sd, lp + "self_attn.q_proj"),
+                "k_proj": _dense(sd, lp + "self_attn.k_proj"),
+                "v_proj": _dense(sd, lp + "self_attn.v_proj"),
+                "out_proj": _dense(sd, lp + "self_attn.out_proj"),
+            },
+            "norm2": _ln(sd, lp + "layer_norm2"),
+            "mlp": {"fc1": _dense(sd, lp + "mlp.fc1"), "fc2": _dense(sd, lp + "mlp.fc2")},
+        }
+    if cfg.num_blocks_to_run == cfg.num_layers and cfg.final_layernorm:
+        params["final_layernorm"] = _ln(sd, f"{p}post_layernorm")
+    return params
+
+
+def convert_dinov2(sd: Dict[str, np.ndarray], cfg: ViTConfig,
+                   native_image_size: Optional[int] = None) -> dict:
+    """Dinov2Model -> VisionTransformer params (LayerScale + optional SwiGLU).
+
+    When cfg.image_size differs from the checkpoint's native resolution, patch
+    position embeddings are bicubically resampled (the reference relies on
+    HF's runtime interpolation; we bake it in at load time for static shapes).
+    """
+    pos = sd["embeddings.position_embeddings"][0]  # [1+N, C]
+    cls_pos, patch_pos = pos[:1], pos[1:]
+    old_side = int(patch_pos.shape[0] ** 0.5)
+    new_side = cfg.grid_side
+    if old_side != new_side:
+        patch_pos = interpolate_patch_pos_embed(patch_pos, old_side, new_side)
+    params = {
+        "patch_embed": {
+            "kernel": _conv_kernel(sd["embeddings.patch_embeddings.projection.weight"]),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd["embeddings.cls_token"],
+        "pos_embed": np.concatenate([cls_pos, patch_pos], axis=0),
+    }
+    if cfg.num_register_tokens:
+        params["register_tokens"] = sd["embeddings.register_tokens"]
+    for i in range(cfg.num_blocks_to_run):
+        lp = f"encoder.layer.{i}."
+        if cfg.swiglu:
+            mlp = {
+                "weights_in": _dense(sd, lp + "mlp.weights_in"),
+                "weights_out": _dense(sd, lp + "mlp.weights_out"),
+            }
+        else:
+            mlp = {"fc1": _dense(sd, lp + "mlp.fc1"), "fc2": _dense(sd, lp + "mlp.fc2")}
+        params[f"blocks_{i}"] = {
+            "norm1": _ln(sd, lp + "norm1"),
+            "attn": {
+                "q_proj": _dense(sd, lp + "attention.attention.query"),
+                "k_proj": _dense(sd, lp + "attention.attention.key"),
+                "v_proj": _dense(sd, lp + "attention.attention.value"),
+                "out_proj": _dense(sd, lp + "attention.output.dense"),
+            },
+            "ls1_gamma": sd[lp + "layer_scale1.lambda1"],
+            "norm2": _ln(sd, lp + "norm2"),
+            "mlp": mlp,
+            "ls2_gamma": sd[lp + "layer_scale2.lambda1"],
+        }
+    if cfg.num_blocks_to_run == cfg.num_layers and cfg.final_layernorm:
+        params["final_layernorm"] = _ln(sd, "layernorm")
+    return params
+
+
+def convert_convnext(sd: Dict[str, np.ndarray], cfg: ConvNeXtConfig) -> dict:
+    """ConvNext trunk -> ConvNeXtTokens params ('trunk' subtree).
+
+    Accepts HF ConvNextModel naming (embeddings/encoder.stages...) or
+    timm/open_clip naming (stem/stages...).
+    """
+    hf = any(k.startswith("embeddings.") for k in sd) or any(
+        k.startswith("convnext.") for k in sd
+    )
+    if any(k.startswith("convnext.") for k in sd):
+        sd = {k[len("convnext."):]: v for k, v in sd.items() if k.startswith("convnext.")}
+
+    trunk = {}
+    if hf:
+        trunk["stem_conv"] = {
+            "kernel": _conv_kernel(sd["embeddings.patch_embeddings.weight"]),
+            "bias": sd["embeddings.patch_embeddings.bias"],
+        }
+        trunk["stem_norm"] = _ln(sd, "embeddings.layernorm")
+        for s, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+            sp = f"encoder.stages.{s}."
+            if s > 0:
+                trunk[f"downsample_norm_{s}"] = _ln(sd, sp + "downsampling_layer.0")
+                trunk[f"downsample_conv_{s}"] = {
+                    "kernel": _conv_kernel(sd[sp + "downsampling_layer.1.weight"]),
+                    "bias": sd[sp + "downsampling_layer.1.bias"],
+                }
+            for b in range(depth):
+                bp = sp + f"layers.{b}."
+                trunk[f"stage_{s}_block_{b}"] = {
+                    "dwconv": {
+                        "kernel": _conv_kernel(sd[bp + "dwconv.weight"]),
+                        "bias": sd[bp + "dwconv.bias"],
+                    },
+                    "norm": _ln(sd, bp + "layernorm"),
+                    "pwconv1": _dense(sd, bp + "pwconv1"),
+                    "pwconv2": _dense(sd, bp + "pwconv2"),
+                    "gamma": sd[bp + "layer_scale_parameter"],
+                }
+    else:  # timm naming (open_clip trunk)
+        trunk["stem_conv"] = {
+            "kernel": _conv_kernel(sd["stem.0.weight"]),
+            "bias": sd["stem.0.bias"],
+        }
+        trunk["stem_norm"] = _ln(sd, "stem.1")
+        for s, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+            sp = f"stages.{s}."
+            if s > 0:
+                trunk[f"downsample_norm_{s}"] = _ln(sd, sp + "downsample.0")
+                trunk[f"downsample_conv_{s}"] = {
+                    "kernel": _conv_kernel(sd[sp + "downsample.1.weight"]),
+                    "bias": sd[sp + "downsample.1.bias"],
+                }
+            for b in range(depth):
+                bp = sp + f"blocks.{b}."
+                trunk[f"stage_{s}_block_{b}"] = {
+                    "dwconv": {
+                        "kernel": _conv_kernel(sd[bp + "conv_dw.weight"]),
+                        "bias": sd[bp + "conv_dw.bias"],
+                    },
+                    "norm": _ln(sd, bp + "norm"),
+                    "pwconv1": _dense(sd, bp + "mlp.fc1"),
+                    "pwconv2": _dense(sd, bp + "mlp.fc2"),
+                    "gamma": sd[bp + "gamma"],
+                }
+    return {"trunk": trunk}

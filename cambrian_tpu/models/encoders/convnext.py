@@ -1,0 +1,121 @@
+"""ConvNeXt trunk with multi-stage feature taps — the high-resolution tower
+(OpenCLIP CLIP-convnext-XXL at res 1024, reduction 32).
+
+Reference behavior (clip_convnext_encoder.py:121-144): run stem + 4 stages,
+keep every stage's map (multi-stage) or only the last, bilinearly resize each
+map in fp32 to the interp grid (96x96 for -interp9216) and concatenate
+channels -> [B, 9216, 384+768+1536+3072=5760].
+
+Layout: NHWC throughout (TPU conv layout); depthwise 7x7 via
+feature_group_count.
+"""
+
+from dataclasses import dataclass
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.resize import resize_bilinear
+
+
+@dataclass(frozen=True)
+class ConvNeXtConfig:
+    depths: Tuple[int, ...] = (3, 4, 30, 3)
+    dims: Tuple[int, ...] = (384, 768, 1536, 3072)   # XXL
+    image_size: int = 1024
+    ln_eps: float = 1e-6
+    multi_stage: bool = True
+
+    @property
+    def hidden_size(self) -> int:
+        return sum(self.dims) if self.multi_stage else self.dims[-1]
+
+    @property
+    def reduction(self) -> int:
+        return 32
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    ln_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(
+            self.dim, kernel_size=(7, 7), padding=3, feature_group_count=self.dim,
+            dtype=self.dtype, name="dwconv",
+        )(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(h)
+        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
+        return x + h * gamma.astype(h.dtype)
+
+
+class ConvNeXt(nn.Module):
+    """Returns per-stage NHWC feature maps (list of 4)."""
+
+    cfg: ConvNeXtConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray):
+        c = self.cfg
+        x = jnp.transpose(pixels.astype(self.dtype), (0, 2, 3, 1))  # NCHW -> NHWC
+        # stem: 4x4 s4 conv + LN
+        x = nn.Conv(c.dims[0], kernel_size=(4, 4), strides=(4, 4), padding="VALID",
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="stem_norm")(x)
+
+        stage_maps = []
+        for s, (depth, dim) in enumerate(zip(c.depths, c.dims)):
+            if s > 0:
+                x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
+                                 name=f"downsample_norm_{s}")(x)
+                x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), padding="VALID",
+                            dtype=self.dtype, name=f"downsample_conv_{s}")(x)
+            for b in range(depth):
+                x = ConvNeXtBlock(dim, ln_eps=c.ln_eps, dtype=self.dtype,
+                                  name=f"stage_{s}_block_{b}")(x)
+            stage_maps.append(x)
+        return stage_maps
+
+
+class ConvNeXtTokens(nn.Module):
+    """Full tower forward: stages -> fp32 bilinear resize to the target grid
+    -> channel concat -> tokens [B, grid^2, hidden]."""
+
+    cfg: ConvNeXtConfig
+    interp_side: int = 96
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        maps = ConvNeXt(c, dtype=self.dtype, name="trunk")(pixels)
+        if not c.multi_stage:
+            maps = maps[-1:]
+        resized = [
+            resize_bilinear(m, self.interp_side, self.interp_side) for m in maps
+        ]
+        x = jnp.concatenate(resized, axis=-1)
+        b = x.shape[0]
+        return x.reshape(b, self.interp_side * self.interp_side, -1)
+
+
+def convnext_xxl(image_size: int = 1024, multi_stage: bool = True) -> ConvNeXtConfig:
+    return ConvNeXtConfig(depths=(3, 4, 30, 3), dims=(384, 768, 1536, 3072),
+                          image_size=image_size, multi_stage=multi_stage)
+
+
+def convnext_large(image_size: int = 320, multi_stage: bool = True) -> ConvNeXtConfig:
+    return ConvNeXtConfig(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536),
+                          image_size=image_size, multi_stage=multi_stage)
+
+
+def tiny_convnext(image_size: int = 64) -> ConvNeXtConfig:
+    return ConvNeXtConfig(depths=(1, 1, 2, 1), dims=(16, 32, 64, 128),
+                          image_size=image_size)

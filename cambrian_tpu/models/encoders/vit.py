@@ -1,0 +1,238 @@
+"""Generic Vision Transformer covering the production ViT towers:
+
+- OpenAI CLIP-ViT-L/14-336 (class token, pre-embedding LayerNorm, quick_gelu,
+  hidden tap at select_layer=-2 — reference clip_encoder.py:57-68)
+- SigLIP-SO400M-14 (no class token, tanh-approx GELU, full forward incl.
+  final LayerNorm — reference siglip_encoder.py:95-99)
+- DINOv2-giant (class token, LayerScale, SwiGLU FFN, full forward incl.
+  final LayerNorm, position-embedding interpolation for -res overrides —
+  reference dino_encoder.py)
+
+One Flax module, knobs per variant. Weight conversion from the HF torch
+checkpoints lives in ``cambrian_tpu.checkpoint.hf_vision``.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    patch_size: int
+    image_size: int
+    class_token: bool = True
+    num_register_tokens: int = 0
+    pre_layernorm: bool = False          # CLIP's pre_layrnorm after embeddings
+    final_layernorm: bool = True         # applied only on full-depth forward
+    act: str = "gelu"                    # gelu | quick_gelu | gelu_tanh
+    swiglu: bool = False                 # DINOv2-giant FFN
+    layer_scale: bool = False            # DINOv2 LayerScale
+    ln_eps: float = 1e-5
+    patch_bias: bool = True              # CLIP patch conv has no bias
+    select_layer: int = 0                # 0/None = full forward; -2 = CLIP tap
+    select_feature: str = "patch"        # patch | cls_patch
+
+    @property
+    def grid_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_side ** 2
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.class_token else 0) + self.num_register_tokens
+
+    @property
+    def num_blocks_to_run(self) -> int:
+        """select_layer indexes the HF hidden_states list: hidden_states[-2]
+        is the output of block L-1 (clip_encoder.py:57-63)."""
+        if self.select_layer in (0, None):
+            return self.num_layers
+        if self.select_layer < 0:
+            return self.num_layers + self.select_layer + 1
+        return self.select_layer
+
+
+def _activation(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu_tanh":
+        return lambda x: nn.gelu(x, approximate=True)
+    if name == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    raise ValueError(f"unknown activation {name}")
+
+
+class ViTAttention(nn.Module):
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        b, n, _ = x.shape
+        head_dim = c.hidden_size // c.num_heads
+        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, n, c.num_heads, head_dim)
+        k = k.reshape(b, n, c.num_heads, head_dim)
+        v = v.reshape(b, n, c.num_heads, head_dim)
+        # Non-causal full attention; fp32 softmax
+        from ...ops.attention import dot_product_attention
+
+        out = dot_product_attention(q, k, v).reshape(b, n, c.hidden_size)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
+
+
+class ViTMlp(nn.Module):
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        if c.swiglu:
+            # DINOv2 SwiGLUFFN: weights_in -> split -> silu(x1)*x2 -> weights_out
+            h = nn.Dense(2 * c.intermediate_size, dtype=self.dtype, name="weights_in")(x)
+            x1, x2 = jnp.split(h, 2, axis=-1)
+            h = nn.silu(x1) * x2
+            return nn.Dense(c.hidden_size, dtype=self.dtype, name="weights_out")(h)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        h = _activation(c.act)(h)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="norm1")(x)
+        h = ViTAttention(c, dtype=self.dtype, name="attn")(h)
+        if c.layer_scale:
+            g1 = self.param("ls1_gamma", nn.initializers.ones, (c.hidden_size,), jnp.float32)
+            h = h * g1.astype(h.dtype)
+        x = x + h
+        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="norm2")(x)
+        h = ViTMlp(c, dtype=self.dtype, name="mlp")(h)
+        if c.layer_scale:
+            g2 = self.param("ls2_gamma", nn.initializers.ones, (c.hidden_size,), jnp.float32)
+            h = h * g2.astype(h.dtype)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """Returns token features [B, N(+prefix), C] at the configured tap depth.
+
+    Input pixels are NCHW float (matching the host pipeline); converted to
+    NHWC internally for the TPU-friendly conv layout.
+    """
+
+    cfg: ViTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        b = pixels.shape[0]
+        x = jnp.transpose(pixels.astype(self.dtype), (0, 2, 3, 1))  # NCHW -> NHWC
+        x = nn.Conv(
+            c.hidden_size,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            use_bias=c.patch_bias,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        x = x.reshape(b, -1, c.hidden_size)
+        n_patches = x.shape[1]
+
+        prefix = []
+        if c.class_token:
+            cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c.hidden_size),
+                             jnp.float32)
+            prefix.append(jnp.broadcast_to(cls.astype(x.dtype), (b, 1, c.hidden_size)))
+        if c.num_register_tokens:
+            reg = self.param("register_tokens", nn.initializers.zeros,
+                             (1, c.num_register_tokens, c.hidden_size), jnp.float32)
+            prefix.append(jnp.broadcast_to(reg.astype(x.dtype),
+                                           (b, c.num_register_tokens, c.hidden_size)))
+
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros,
+            ((1 if c.class_token else 0) + n_patches, c.hidden_size), jnp.float32,
+        )
+        if c.class_token:
+            # pos embed covers [cls] + patches (CLIP/DINOv2 layout); register
+            # tokens (if any) carry no positional term (DINOv2-reg layout).
+            cls_tok = prefix[0] + pos[:1].astype(x.dtype)
+            x = x + pos[1:].astype(x.dtype)
+            parts = [cls_tok] + prefix[1:] + [x]
+            x = jnp.concatenate(parts, axis=1)
+        else:
+            x = x + pos.astype(x.dtype)
+
+        if c.pre_layernorm:
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="pre_layernorm")(x)
+
+        n_run = c.num_blocks_to_run
+        for i in range(n_run):
+            x = ViTBlock(c, dtype=self.dtype, name=f"blocks_{i}")(x)
+
+        if n_run == c.num_layers and c.final_layernorm:
+            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="final_layernorm")(x)
+
+        if c.select_feature == "patch" and c.num_prefix_tokens:
+            x = x[:, c.num_prefix_tokens:]
+        return x
+
+
+# ----- stock tower configs (public architecture hyperparameters) -----------
+
+def clip_vit_l_336(select_layer: int = -2) -> ViTConfig:
+    return ViTConfig(
+        hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096,
+        patch_size=14, image_size=336, class_token=True, pre_layernorm=True,
+        final_layernorm=False, act="quick_gelu", patch_bias=False,
+        select_layer=select_layer, ln_eps=1e-5,
+    )
+
+
+def siglip_so400m_384() -> ViTConfig:
+    return ViTConfig(
+        hidden_size=1152, num_layers=27, num_heads=16, intermediate_size=4304,
+        patch_size=14, image_size=384, class_token=False, final_layernorm=True,
+        act="gelu_tanh", select_layer=0, ln_eps=1e-6,
+    )
+
+
+def dinov2_giant(image_size: int = 378) -> ViTConfig:
+    return ViTConfig(
+        hidden_size=1536, num_layers=40, num_heads=24, intermediate_size=4096,
+        patch_size=14, image_size=image_size, class_token=True,
+        final_layernorm=True, act="gelu", swiglu=True, layer_scale=True,
+        select_layer=0, ln_eps=1e-6,
+    )
+
+
+def tiny_vit(image_size: int = 32, **kwargs) -> ViTConfig:
+    base = dict(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        patch_size=8, image_size=image_size,
+    )
+    base.update(kwargs)
+    return ViTConfig(**base)

@@ -1,0 +1,381 @@
+"""The Cambrian multimodal model: multi-tower features -> SVA connector ->
+decoder with periodic in-LLM SVA re-injection.
+
+This is the TPU-native re-design of the reference's meta-architecture
+(cambrian_arch.py:33-200, :259-609 and cambrian_llama.py:142-253):
+
+- ONE static-shape, mask-driven path for training and prefill (the reference's
+  XLA branch); the image block always occupies ``image_position ..
+  image_position+600`` and validity lives in the attention mask/position ids.
+- The SVA windowing is expressed as reshapes (windows stay a tensor axis —
+  see models/sva.py) instead of flattening into batch.
+- Vision features for the in-decoder injection are explicit function inputs
+  (the reference stashes them on ``self``, cambrian_llama.py:471-474, which
+  breaks batching; ours is a pure carry).
+
+``CambrianLM`` is the trainable Flax module (embeddings + SVA connector +
+decoder + LM head). Vision towers are separate modules orchestrated by
+``CambrianModel`` (frozen in stage-1 training, separately sharded).
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..constants import IGNORE_INDEX
+from ..ops.resize import resize_bilinear
+from .config import CambrianConfig
+from .language.llama import (
+    LlamaDecoderLayer,
+    RMSNorm,
+    init_kv_cache,
+    make_causal_mask,
+    make_decode_mask,
+)
+from .sva import VisionTokenSampler, Mlp
+from .projectors import build_projector_module
+
+
+def window_features(feats: jnp.ndarray, q_side: int) -> jnp.ndarray:
+    """[B, S*S, C] tower grid -> [B, q_side^2, (S/q_side)^2, C] local windows
+    (the reshape/permute equivalent of cambrian_arch.py:271-287)."""
+    b, n, c = feats.shape
+    s = int(n ** 0.5)
+    assert s * s == n and s % q_side == 0, (n, q_side)
+    r = s // q_side
+    x = feats.reshape(b, q_side, r, q_side, r, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, q_side * q_side, r * r, c)
+
+
+def unwindow_mask(mask: jnp.ndarray, q_side: int) -> jnp.ndarray:
+    """Inverse of the window view for masks: [B, q^2, r^2] -> [B, (q*r)^2]."""
+    b, q2, r2 = mask.shape
+    r = int(r2 ** 0.5)
+    x = mask.reshape(b, q_side, q_side, r, r)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(b, (q_side * r) ** 2)
+
+
+def window_mask(flat: jnp.ndarray, q_side: int) -> jnp.ndarray:
+    """[B, S*S] -> [B, q^2, r^2] window masks, force-unmasking all-invalid
+    windows (train_fsdp.py:1136 semantics)."""
+    b, n = flat.shape
+    s = int(n ** 0.5)
+    r = s // q_side
+    x = flat.reshape(b, q_side, r, q_side, r)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b, q_side * q_side, r * r)
+    dead = jnp.sum(x, axis=-1, keepdims=True) == 0
+    return jnp.where(dead, True, x)
+
+
+class CambrianLM(nn.Module):
+    """Trainable core: token embeddings + SVA connector + decoder + LM head.
+
+    Inputs are pre-packed (data/packing.py): ``input_ids`` [B,S] with the
+    image indicator at cfg.image_position followed by zero pads, per-token
+    validity ``attention_mask`` [B,S], ``position_ids`` [B,S], per-tower
+    *projected-grid* validity masks in window form [B, 576, W_i].
+    """
+
+    cfg: CambrianConfig
+    tower_hidden_sizes: Tuple[int, ...]
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = nn.Embed(c.vocab_size, c.hidden_size,
+                                     dtype=self.dtype, name="embed_tokens")
+        if c.mm_projector_type == "sva":
+            vh = c.vision_hidden_size
+            # per-tower 2-layer MLP + LN into the shared vision space
+            # (cambrian_arch.py:56)
+            self.mm_projector_aux = [
+                _AuxProjector(vh, dtype=self.dtype, name=f"mm_projector_aux_{i}")
+                for i in range(len(self.tower_hidden_sizes))
+            ]
+            # per-query-group connector samplers (cambrian_arch.py:58-60)
+            self.vision_samplers = [
+                VisionTokenSampler(
+                    q_dim=vh,
+                    kv_size_list=c.cross_att_window_sizes(qn),
+                    vision_hidden_size=vh,
+                    num_of_layers=c.connector_depth,
+                    dtype=self.dtype,
+                    name=f"vision_sampler_{g}",
+                )
+                for g, qn in enumerate(c.query_num_list)
+            ]
+            # in-LLM samplers (cambrian_arch.py:62-69)
+            if not c.connector_only:
+                self.vision_sampler_layers = [
+                    VisionTokenSampler(
+                        q_dim=c.hidden_size,
+                        kv_size_list=c.cross_att_window_sizes(c.image_token_len),
+                        vision_hidden_size=vh,
+                        num_of_layers=1,
+                        dtype=self.dtype,
+                        name=f"vision_sampler_layers_{k}",
+                    )
+                    for k in range(c.num_of_vision_sampler_layers)
+                ]
+            self.mm_projector = _SvaProjector(c.hidden_size, dtype=self.dtype,
+                                              name="mm_projector")
+            self.vision_query = self.param(
+                "vision_query",
+                nn.initializers.normal(stddev=c.vision_hidden_size ** -0.5),
+                (c.num_query_group, vh), jnp.float32,
+            )
+        else:
+            self.mm_projector = build_projector_module(c, dtype=self.dtype,
+                                                       name="mm_projector")
+        self.image_newline = self.param(
+            "image_newline",
+            nn.initializers.normal(stddev=c.hidden_size ** -0.5),
+            (c.hidden_size,), jnp.float32,
+        )
+        self.layers = [
+            LlamaDecoderLayer(c, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(c.num_hidden_layers)
+        ]
+        self.norm = RMSNorm(c.rms_norm_eps, name="norm")
+        if not c.tie_word_embeddings:
+            self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=jnp.float32,
+                                    name="lm_head")
+
+    # ------------------------------------------------------------------
+    # vision connector
+    # ------------------------------------------------------------------
+
+    def prepare_vision(
+        self,
+        aux_features_list: Sequence[jnp.ndarray],   # N x [B, tok_i, C_i]
+        aux_masks_list: Sequence[jnp.ndarray],      # N x [B, 576, W_i] bool
+    ):
+        """Multi-tower SVA aggregation (cambrian_arch.py:366-419).
+
+        Returns:
+            image_embeds: [B, 600, hidden] latent queries + newline column
+            vision_kv: N x [B, 576, W_i, vh] windows for in-LLM injection
+            vision_masks: N x [B, 576, W_i]
+            global_context: [B, 576, vh]
+        """
+        c = self.cfg
+        b = aux_features_list[0].shape[0]
+        final_side = c.image_token_len_per_side
+
+        projected = [
+            proj(feats.astype(self.dtype))
+            for proj, feats in zip(self.mm_projector_aux, aux_features_list)
+        ]
+        # tower-0 mean is the global context (cambrian_arch.py:377)
+        global_context = jnp.mean(projected[0], axis=1, keepdims=True)  # [B,1,vh]
+
+        group_features = []
+        for g, qn in enumerate(c.query_num_list):
+            q_side = int(qn ** 0.5)
+            queries = jnp.broadcast_to(
+                self.vision_query[g].astype(self.dtype)[None, None, :],
+                (b, qn, c.vision_hidden_size),
+            )
+            ctx = jnp.broadcast_to(global_context, (b, qn, c.vision_hidden_size))
+            kvs = [window_features(p, q_side) for p in projected]
+            if q_side == final_side:
+                masks = list(aux_masks_list)
+            else:
+                masks = [
+                    window_mask(unwindow_mask(m, final_side), q_side)
+                    for m in aux_masks_list
+                ]
+            out = self.vision_samplers[g](queries, ctx, kvs, masks)  # [B,qn,vh]
+            if q_side != final_side:
+                grid = out.reshape(b, q_side, q_side, -1)
+                grid = resize_bilinear(grid, final_side, final_side)
+                out = grid.reshape(b, final_side * final_side, -1)
+            group_features.append(out)
+
+        image_features = jnp.concatenate(group_features, axis=-1)
+        image_features = self.mm_projector(image_features)  # [B,576,hidden]
+
+        # newline column (cambrian_arch.py:413-419)
+        grid = image_features.reshape(b, final_side, final_side, -1)
+        newline = jnp.broadcast_to(
+            self.image_newline.astype(grid.dtype)[None, None, None, :],
+            (b, final_side, 1, c.hidden_size),
+        )
+        image_embeds = jnp.concatenate([grid, newline], axis=2)
+        image_embeds = image_embeds.reshape(b, c.image_block_len, c.hidden_size)
+
+        vision_kv = [window_features(p, final_side) for p in projected]
+        global_ctx_final = jnp.broadcast_to(
+            global_context, (b, c.image_token_len, c.vision_hidden_size)
+        )
+        return image_embeds, vision_kv, list(aux_masks_list), global_ctx_final
+
+    def _inject_sva(self, k: int, hidden: jnp.ndarray, vision_kv, vision_masks,
+                    global_context) -> jnp.ndarray:
+        """In-decoder SVA step k (cambrian_llama.py:177-207): slice the latent
+        window, strip the newline column, cross-attend, write back."""
+        c = self.cfg
+        b = hidden.shape[0]
+        side = c.image_token_len_per_side
+        pos = c.image_position
+        block = jax.lax.dynamic_slice_in_dim(hidden, pos, c.image_block_len, axis=1)
+        block = block.reshape(b, side, side + 1, c.hidden_size)
+        latent, newline = block[:, :, :side], block[:, :, side:]
+        latent = latent.reshape(b, c.image_token_len, c.hidden_size)
+        latent = self.vision_sampler_layers[k](
+            latent, global_context, vision_kv, vision_masks
+        )
+        latent = latent.reshape(b, side, side, c.hidden_size)
+        block = jnp.concatenate([latent, newline], axis=2)
+        block = block.reshape(b, c.image_block_len, c.hidden_size)
+        return jax.lax.dynamic_update_slice_in_dim(hidden, block, pos, axis=1)
+
+    # ------------------------------------------------------------------
+    # decoder forward paths
+    # ------------------------------------------------------------------
+
+    def _decoder(self, hidden, mask, position_ids, cache, cache_index,
+                 vision_kv, vision_masks, global_context, inject: bool):
+        c = self.cfg
+        inject_layers = set(c.vision_sampler_layer_indices) if inject else set()
+        new_cache = [] if cache is not None else None
+        for i, layer in enumerate(self.layers):
+            layer_cache = None if cache is None else cache[i]
+            hidden, lc = layer(hidden, mask, position_ids, layer_cache, cache_index)
+            if cache is not None:
+                new_cache.append(lc)
+            if i in inject_layers:
+                k = (i - c.start_of_vision_sampler_layers) // c.stride_of_vision_sampler_layers
+                hidden = self._inject_sva(k, hidden, vision_kv, vision_masks,
+                                          global_context)
+        hidden = self.norm(hidden)
+        return hidden, (tuple(new_cache) if new_cache is not None else None)
+
+    def _logits(self, hidden):
+        if self.cfg.tie_word_embeddings:
+            emb = self.embed_tokens.embedding.astype(jnp.float32)
+            return hidden.astype(jnp.float32) @ emb.T
+        return self.lm_head(hidden.astype(jnp.float32))
+
+    def _splice_image(self, input_ids, image_embeds):
+        """Embed text tokens and overwrite the image block slots
+        (cambrian_arch.py:457-490, static-position variant)."""
+        ids = jnp.where(input_ids < 0, 0, input_ids)
+        embeds = self.embed_tokens(ids)
+        if image_embeds is not None:
+            embeds = jax.lax.dynamic_update_slice_in_dim(
+                embeds, image_embeds.astype(embeds.dtype),
+                self.cfg.image_position, axis=1,
+            )
+        return embeds
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,             # [B, S]
+        attention_mask: jnp.ndarray,        # [B, S] validity
+        position_ids: jnp.ndarray,          # [B, S]
+        aux_features_list: Optional[Sequence[jnp.ndarray]] = None,
+        aux_masks_list: Optional[Sequence[jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """Training / no-cache forward. Returns fp32 logits [B, S, V]."""
+        vision = None
+        if aux_features_list is not None:
+            vision = self.prepare_vision(aux_features_list, aux_masks_list)
+        image_embeds, vision_kv, vision_masks, global_ctx = (
+            vision if vision is not None else (None, None, None, None)
+        )
+        hidden = self._splice_image(input_ids, image_embeds)
+        mask = make_causal_mask(attention_mask)
+        hidden, _ = self._decoder(hidden, mask, position_ids, None, None,
+                                  vision_kv, vision_masks, global_ctx,
+                                  inject=vision is not None)
+        return self._logits(hidden)
+
+    def prefill(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        cache,
+        aux_features_list: Optional[Sequence[jnp.ndarray]] = None,
+        aux_masks_list: Optional[Sequence[jnp.ndarray]] = None,
+    ):
+        """Prefill: same math as __call__ but fills the KV cache.
+
+        Returns (logits [B, S, V] fp32, cache).
+        """
+        vision = None
+        if aux_features_list is not None:
+            vision = self.prepare_vision(aux_features_list, aux_masks_list)
+        image_embeds, vision_kv, vision_masks, global_ctx = (
+            vision if vision is not None else (None, None, None, None)
+        )
+        hidden = self._splice_image(input_ids, image_embeds)
+        s = input_ids.shape[1]
+        k_len = cache[0][0].shape[1]
+        # queries attend causally within the prompt; cache beyond S is invalid
+        base = make_causal_mask(attention_mask)  # [B,1,S,S]
+        pad = jnp.zeros((base.shape[0], 1, s, k_len - s), dtype=bool)
+        mask = jnp.concatenate([base, pad], axis=-1)
+        hidden, cache = self._decoder(hidden, mask, position_ids, cache,
+                                      jnp.int32(0), vision_kv, vision_masks,
+                                      global_ctx, inject=vision is not None)
+        return self._logits(hidden), cache
+
+    def decode_step(
+        self,
+        token_ids: jnp.ndarray,        # [B, 1]
+        position_ids: jnp.ndarray,     # [B, 1]
+        cache,
+        cache_valid: jnp.ndarray,      # [B, K] validity of cache slots
+        cache_index: jnp.ndarray,      # scalar int32: write offset
+    ):
+        """Single greedy/sampling decode step. Returns (logits [B,V], cache)."""
+        hidden = self.embed_tokens(token_ids)
+        mask = make_decode_mask(cache_valid)
+        hidden, cache = self._decoder(hidden, mask, position_ids, cache,
+                                      cache_index, None, None, None, inject=False)
+        return self._logits(hidden)[:, 0], cache
+
+
+class _AuxProjector(nn.Module):
+    """Dense -> GELU -> Dense -> LayerNorm (cambrian_arch.py:56)."""
+
+    vision_hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc2")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+
+
+class _SvaProjector(nn.Module):
+    """Dense -> GELU -> Dense into the decoder width (cambrian_arch.py:49)."""
+
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x)
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Shifted next-token CE, ignoring IGNORE_INDEX (cambrian_llama.py:412-422)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    token_loss = jnp.where(valid, -token_ll, 0.0)
+    return jnp.sum(token_loss) / jnp.maximum(jnp.sum(valid), 1)

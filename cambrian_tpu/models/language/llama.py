@@ -1,0 +1,168 @@
+"""LLaMA-family decoder (covers LLaMA-3-8B, Vicuna-13B, Hermes-2-Yi-34B —
+the reference's cambrian_llama.py bindings) with:
+
+- fp32 RMSNorm (the reference's TPU fix, train_fsdp.py:1428-1438, is our
+  default — see ops/norms.py)
+- GQA + rotary embeddings (HF rotate-half convention)
+- functional KV cache (explicit carry, no module state): cache slots are
+  [B, max_len, kv_heads, head_dim]; decode updates via dynamic_update_slice
+- mask-driven static shapes: attention combines the causal structure with the
+  packing validity mask (train_fsdp.py:1089-1165 geometry), one code path for
+  train and prefill
+- fp32 logits (cambrian_llama.py:409)
+
+The in-decoder SVA injection (cambrian_llama.py:168-207) lives in
+models/cambrian.py, which owns the layer loop.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.attention import dot_product_attention
+from ...ops.norms import rms_norm
+from ..config import CambrianConfig
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        return rms_norm(x, weight, self.eps)
+
+
+def rope_cos_sin(position_ids: jnp.ndarray, head_dim: int, theta: float,
+                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [B, S, head_dim] (duplicated-half layout, HF convention)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [B,S,D/2]
+    emb = jnp.concatenate([angles, angles], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q,k: [B,S,H,D]; cos/sin: [B,S,D] -> broadcast over heads."""
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    q = q * cos + _rotate_half(q) * sin
+    k = k * cos + _rotate_half(k) * sin
+    return q, k
+
+
+class LlamaAttention(nn.Module):
+    cfg: CambrianConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,                     # [B, S, C]
+        mask: jnp.ndarray,                  # bool [B, 1, S, K]
+        position_ids: jnp.ndarray,          # [B, S]
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        c = self.cfg
+        b, s, _ = x.shape
+        h, kvh, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
+        bias = c.attention_bias
+
+        q = nn.Dense(h * d, use_bias=bias, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(kvh * d, use_bias=bias, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(kvh * d, use_bias=bias, dtype=self.dtype, name="v_proj")(x)
+        q = q.reshape(b, s, h, d)
+        k = k.reshape(b, s, kvh, d)
+        v = v.reshape(b, s, kvh, d)
+
+        cos, sin = rope_cos_sin(position_ids, d, c.rope_theta, self.dtype)
+        q, k = apply_rope(q, k, cos, sin)
+
+        new_cache = None
+        if cache is not None:
+            cache_k, cache_v = cache
+            k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
+                                             (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
+                                             (0, cache_index, 0, 0))
+            new_cache = (k, v)
+
+        # GQA: expand kv heads to full heads
+        if kvh != h:
+            reps = h // kvh
+            k = jnp.repeat(k, reps, axis=2)
+            v = jnp.repeat(v, reps, axis=2)
+
+        out = dot_product_attention(q, k, v, mask)
+        out = out.reshape(b, s, h * d)
+        out = nn.Dense(c.hidden_size, use_bias=bias, dtype=self.dtype, name="o_proj")(out)
+        return out, new_cache
+
+
+class LlamaMlp(nn.Module):
+    cfg: CambrianConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        bias = c.mlp_bias
+        gate = nn.Dense(c.intermediate_size, use_bias=bias, dtype=self.dtype,
+                        name="gate_proj")(x)
+        up = nn.Dense(c.intermediate_size, use_bias=bias, dtype=self.dtype,
+                      name="up_proj")(x)
+        act = nn.silu(gate) if c.hidden_act == "silu" else nn.gelu(gate, approximate=False)
+        return nn.Dense(c.hidden_size, use_bias=bias, dtype=self.dtype,
+                        name="down_proj")(act * up)
+
+
+class LlamaDecoderLayer(nn.Module):
+    cfg: CambrianConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, position_ids, cache=None, cache_index=None):
+        c = self.cfg
+        h, new_cache = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
+            RMSNorm(c.rms_norm_eps, name="input_layernorm")(x),
+            mask, position_ids, cache, cache_index,
+        )
+        x = x + h
+        h = LlamaMlp(c, dtype=self.dtype, name="mlp")(
+            RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
+        )
+        return x + h, new_cache
+
+
+def make_causal_mask(valid: jnp.ndarray) -> jnp.ndarray:
+    """[B, S] validity -> [B, 1, S, S] bool causal-and-valid attention mask.
+
+    Matches HF's 4D causal mask built from the packing validity mask
+    (cambrian_llama.py:123-128): position q may attend to k iff k <= q (by
+    sequence order) and slot k is valid.
+    """
+    s = valid.shape[-1]
+    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+    return causal[None, None, :, :] & valid[:, None, None, :].astype(bool)
+
+
+def make_decode_mask(cache_valid: jnp.ndarray) -> jnp.ndarray:
+    """[B, K] cache-slot validity -> [B, 1, 1, K] decode-step mask."""
+    return cache_valid[:, None, None, :].astype(bool)
+
+
+def init_kv_cache(cfg: CambrianConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Per-layer (k, v) slots [B, max_len, kv_heads, head_dim]."""
+    shape = (batch, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    return tuple(
+        (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        for _ in range(cfg.num_hidden_layers)
+    )

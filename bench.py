@@ -1,0 +1,123 @@
+"""End-of-round benchmark: production-shape 4-tower + SVA encode throughput
+on one chip, bf16, random weights.
+
+Measures the reference's hot path (SURVEY.md §3.1: encode_images + SVA are
+the per-step FLOPs giants): SigLIP-SO400M-14-384 + CLIP-ViT-L/14-336 +
+DINOv2-giant-378 + ConvNeXt-XXL-1024 (multi-stage) -> per-tower aux
+projectors -> 3-layer SVA connector -> 576 latent tokens + newline column.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference (torch_xla 2.2 lazy-tensor FSDP on TPU) has no
+published throughput; BASELINE.json targets >=3x its images/sec. We anchor
+against an estimated 4.0 images/sec/chip for the torch-xla encode at these
+shapes (~6.0 TFLOP/image at the ~30% MXU utilization torch-xla lazy tracing
+typically reaches on v5e's 197 bf16 TFLOP/s). Revisit when a measured anchor
+exists.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 4.0
+BATCH = 4
+ITERS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cambrian_tpu.models.cambrian import CambrianLM
+    from cambrian_tpu.models.config import cambrian_8b
+    from cambrian_tpu.models.encoders.base import build_vision_tower_aux_list
+
+    cfg = cambrian_8b()
+    dtype = jnp.bfloat16
+    towers = build_vision_tower_aux_list(
+        cfg.mm_vision_tower_aux_list, cfg.mm_vision_tower_aux_token_len_list,
+        dtype=dtype,
+    )
+    model = CambrianLM(cfg, tuple(t.hidden_size for t in towers), dtype=dtype)
+
+    # Random bf16 params generated on-device from shape structure (avoids an
+    # fp32 init peak; weight values don't change the math's cost).
+    def random_like(tree, seed):
+        leaves, treedef = jax.tree.flatten(jax.eval_shape(lambda: tree))
+        key = jax.random.PRNGKey(seed)
+        out = []
+        for i, s in enumerate(leaves):
+            k = jax.random.fold_in(key, i)
+            out.append(0.02 * jax.random.normal(k, s.shape, dtype))
+        return jax.tree.unflatten(treedef, out)
+
+    tower_params = []
+    for i, t in enumerate(towers):
+        dummy = jnp.zeros((1, 3, t.image_size, t.image_size), dtype)
+        shapes = jax.eval_shape(t.module.init, jax.random.PRNGKey(0), dummy)["params"]
+        tower_params.append(random_like(shapes, 100 + i))
+
+    # connector params only (init via the prepare_vision method)
+    feat_shapes = [
+        jax.ShapeDtypeStruct((BATCH, t.interp_size, t.hidden_size), dtype)
+        for t in towers
+    ]
+    mask_shapes = [
+        jax.ShapeDtypeStruct((BATCH, cfg.image_token_len, w * w), jnp.bool_)
+        for w in cfg.cross_att_window_sizes()
+    ]
+    vision_param_shapes = jax.eval_shape(
+        lambda f, m: model.init(jax.random.PRNGKey(0), f, m,
+                                method=CambrianLM.prepare_vision),
+        feat_shapes, mask_shapes,
+    )["params"]
+    vision_params = {"params": random_like(vision_param_shapes, 999)}
+
+    rng = np.random.default_rng(0)
+    images = [
+        jnp.asarray(
+            rng.standard_normal((BATCH, 3, t.image_size, t.image_size),
+                                dtype=np.float32), dtype)
+        for t in towers
+    ]
+    masks = [
+        jnp.ones((BATCH, cfg.image_token_len, w * w), dtype=bool)
+        for w in cfg.cross_att_window_sizes()
+    ]
+
+    @jax.jit
+    def encode(vision_params, tower_params, images, masks):
+        feats = [t.apply(tp, px) for t, tp, px in zip(towers, tower_params, images)]
+        image_embeds, _, _, _ = model.apply(
+            vision_params, feats, masks, method=CambrianLM.prepare_vision
+        )
+        return image_embeds
+
+    # Warm up with a full host fetch: on the axon tunnel, block_until_ready
+    # alone does not flush the first (compiling) execution.
+    out = encode(vision_params, tower_params, images, masks)
+    np.asarray(out)
+    out = encode(vision_params, tower_params, images, masks)
+    np.asarray(out)
+
+    times = []
+    for _ in range(ITERS):
+        start = time.perf_counter()
+        out = encode(vision_params, tower_params, images, masks)
+        out.block_until_ready()
+        times.append(time.perf_counter() - start)
+    elapsed = float(np.median(times))
+
+    images_per_sec = BATCH / elapsed
+    print(json.dumps({
+        "metric": "images/sec/chip 4-tower+SVA encode (bs=4, bf16, v5e-1)",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

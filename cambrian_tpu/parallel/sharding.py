@@ -1,0 +1,87 @@
+"""Name-based parameter sharding rules (GSPMD).
+
+Replaces the reference's XLA-FSDP wrapper + dim-0 shard patch
+(train_fsdp.py:1277-1398, fsdp_config.json): parameters are annotated with
+NamedShardings and XLA inserts the all-gathers/reduce-scatters. Tensor
+parallelism (absent in the reference; needed for 34B on small slices,
+SURVEY.md §7 hard-part 7) falls out of the same rules via the `model` axis.
+
+Rules are path-keyed; any dimension not divisible by its axis size falls back
+to replication for that axis, so the same rules work on any mesh shape.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading (batch) dim over data+fsdp."""
+    return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (ndim - 1))))
+
+
+# (substring match on the flattened param path) -> spec builder.
+# Specs follow Megatron layout: column-parallel in, row-parallel out.
+def _rule_for(path: str, shape: Tuple[int, ...]) -> P:
+    if len(shape) <= 1:
+        # biases / norms / vectors: shard long vectors over fsdp, else replicate
+        return P("fsdp") if shape and shape[0] >= 8192 else P()
+
+    if "embed_tokens" in path and path.endswith("embedding"):
+        return P("model", "fsdp")          # vocab-sharded embedding
+    if "lm_head" in path:
+        return P("fsdp", "model")          # hidden -> vocab (column parallel)
+    if any(k in path for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                               "fc1", "weights_in", "pwconv1")):
+        return P("fsdp", "model")          # column parallel
+    if any(k in path for k in ("o_proj", "out_proj", "down_proj", "fc2",
+                               "weights_out", "pwconv2")):
+        return P("model", "fsdp")          # row parallel
+    if path.endswith("patch_embed/kernel") or "conv" in path.lower():
+        return P(None, None, None, "fsdp") if len(shape) == 4 else P()
+    if "pos_embed" in path:
+        return P(None, "fsdp") if len(shape) == 2 else P()
+    # generic ND: shard dim 0 over fsdp (the reference's shard_param_on_dim_0)
+    return P("fsdp", *([None] * (len(shape) - 1)))
+
+
+def _fit_spec(spec: P, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Drop axes whose size does not divide the corresponding dim."""
+    fitted = []
+    for dim_i, axis in enumerate(spec):
+        if axis is None or dim_i >= len(shape):
+            fitted.append(None)
+            continue
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        fitted.append(axis if shape[dim_i] % size == 0 else None)
+    while len(fitted) < len(shape):
+        fitted.append(None)
+    return P(*fitted[: len(shape)])
+
+
+def infer_param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching ``params``' structure. Works on any
+    pytree whose leaf paths contain the parameter names (so it also covers
+    Adam mu/nu, which mirror the params tree)."""
+
+    def spec_for(path, leaf):
+        path_str = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        return NamedSharding(
+            mesh, _fit_spec(_rule_for(path_str, leaf.shape), leaf.shape, mesh)
+        )
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_pytree(tree, shardings):
+    """device_put a pytree according to its shardings tree."""
+    return jax.tree.map(jax.device_put, tree, shardings)

@@ -1,0 +1,127 @@
+"""Optimizer with the reference's parameter-group structure
+(cambrian_trainer.py:242-381): separate learning rates for the projector
+group, the vision-sampler group, and (when unfrozen) the vision towers, on
+top of AdamW with weight-decay exclusion for 1-D params (norms/biases).
+
+Freeze policies (train_fsdp.py:1676-1695):
+- ``tune_mm_mlp_adapter`` (stage-1 pretraining): only
+  mm_projector / vision_sampler* / vision_query / image_newline train.
+- ``freeze_backbone``: decoder frozen, connector trains.
+Frozen groups get ``optax.set_to_zero`` so optimizer state stays pytree-
+compatible across stages.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import optax
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    mm_projector_lr: Optional[float] = None
+    mm_vision_sampler_lr: Optional[float] = 1e-4
+    mm_vision_tower_lr: Optional[float] = None
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    warmup_ratio: float = 0.06
+    lr_scheduler_type: str = "cosine"
+    total_steps: int = 1000
+    # freeze policy
+    tune_mm_mlp_adapter: bool = False
+    freeze_backbone: bool = False
+    unfreeze_mm_vision_tower: bool = False
+
+
+# Connector params trainable under tune_mm_mlp_adapter (train_fsdp.py:1676-1686)
+_CONNECTOR_KEYS = (
+    "mm_projector", "pos_embed", "vision_sampler", "vision_query", "image_newline",
+)
+
+
+def _group_of(path: str) -> str:
+    if "vision_sampler" in path:
+        return "vision_sampler"
+    if any(k in path for k in ("mm_projector", "vision_query", "image_newline")):
+        return "projector"
+    if "vision_tower" in path:
+        return "vision_tower"
+    return "base"
+
+
+def label_params(params, config: TrainConfig):
+    """Pytree of group labels (adds 'frozen' per the freeze policy)."""
+
+    def label(path, leaf):
+        path_str = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in path
+        )
+        group = _group_of(path_str)
+        if config.tune_mm_mlp_adapter:
+            if not any(k in path_str for k in _CONNECTOR_KEYS):
+                return "frozen"
+        elif config.freeze_backbone and group == "base":
+            return "frozen"
+        if group == "vision_tower" and not config.unfreeze_mm_vision_tower:
+            return "frozen"
+        return group
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _schedule(peak_lr: float, config: TrainConfig):
+    warmup = max(1, int(config.warmup_ratio * config.total_steps))
+    if config.lr_scheduler_type == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, peak_lr, warmup, max(config.total_steps, warmup + 1), end_value=0.0
+        )
+    if config.lr_scheduler_type == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, peak_lr, warmup),
+                optax.linear_schedule(peak_lr, 0.0, config.total_steps - warmup),
+            ],
+            [warmup],
+        )
+    if config.lr_scheduler_type == "constant":
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak_lr, warmup), optax.constant_schedule(peak_lr)],
+            [warmup],
+        )
+    raise ValueError(f"unknown scheduler {config.lr_scheduler_type}")
+
+
+def build_optimizer(params, config: TrainConfig):
+    """(optax transform, labels pytree)."""
+
+    def adamw(lr):
+        return optax.adamw(
+            _schedule(lr, config),
+            b1=config.adam_b1,
+            b2=config.adam_b2,
+            eps=config.adam_eps,
+            weight_decay=config.weight_decay,
+            # HF-style decay exclusion: no decay on vectors/scalars
+            mask=lambda p: jax.tree.map(lambda x: x.ndim >= 2, p),
+        )
+
+    group_lrs = {
+        "base": config.learning_rate,
+        "projector": config.mm_projector_lr or config.learning_rate,
+        "vision_sampler": config.mm_vision_sampler_lr or config.learning_rate,
+        "vision_tower": config.mm_vision_tower_lr or config.learning_rate,
+    }
+    transforms = {g: adamw(lr) for g, lr in group_lrs.items()}
+    transforms["frozen"] = optax.set_to_zero()
+
+    labels = label_params(params, config)
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.multi_transform(transforms, labels),
+    )
+    return tx, labels

@@ -1,0 +1,118 @@
+"""Sharded training step.
+
+The thin custom loop replacing HF Trainer + torch_xla FSDP (SURVEY.md §7
+deliberate non-ports): params/opt-state sharded by GSPMD rules
+(parallel/sharding.py), batch sharded over (data, fsdp), XLA inserts the
+collectives. Vision towers run inside the step under stop_gradient when
+frozen (the production default; train_fsdp.py:1676-1695), so the whole
+image->loss pipeline is one compiled program.
+"""
+
+from functools import partial
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.cambrian import CambrianLM, cross_entropy_loss
+from ..parallel.sharding import batch_sharding, infer_param_shardings, replicated
+from .optimizer import TrainConfig, build_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: Any = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = jax.tree.map(lambda p, u: p + u, self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state)
+
+
+def init_train_state(params, config: TrainConfig) -> TrainState:
+    tx, _ = build_optimizer(params, config)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), tx=tx)
+
+
+def make_train_step(
+    model: CambrianLM,
+    towers: Optional[Sequence] = None,
+    train_towers: bool = False,
+) -> Callable:
+    """Returns ``step(state, tower_params, batch) -> (state, metrics)``.
+
+    ``batch``: input_ids, labels, attention_mask, position_ids,
+    images (list, per tower, NCHW), aux_masks (list, per tower).
+    """
+
+    def encode_towers(tower_params, images):
+        feats = []
+        for tower, tp, px in zip(towers, tower_params, images):
+            f = tower.apply(tp, px)
+            if not train_towers:
+                f = jax.lax.stop_gradient(f)
+            feats.append(f)
+        return feats
+
+    def step(state: TrainState, tower_params, batch):
+        def loss_fn(params):
+            aux_features = None
+            if towers is not None and batch.get("images") is not None:
+                aux_features = encode_towers(tower_params, batch["images"])
+            logits = model.apply(
+                params,
+                batch["input_ids"],
+                batch["attention_mask"],
+                batch["position_ids"],
+                aux_features,
+                batch.get("aux_masks"),
+            )
+            return cross_entropy_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax_global_norm(grads),
+            "step": new_state.step,
+        }
+        return new_state, metrics
+
+    return step
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def batch_shardings(mesh: Mesh, num_towers: int):
+    """Shardings for the batch dict (leading dim over data+fsdp)."""
+    b2 = batch_sharding(mesh, 2)
+    b3 = batch_sharding(mesh, 3)
+    b4 = batch_sharding(mesh, 4)
+    return {
+        "input_ids": b2,
+        "labels": b2,
+        "attention_mask": b2,
+        "position_ids": b2,
+        "images": [b4] * num_towers,
+        "aux_masks": [b3] * num_towers,
+    }
+
+
+def state_shardings(state: TrainState, mesh: Mesh) -> TrainState:
+    """Shardings pytree for a TrainState. Optimizer state (Adam mu/nu) mirrors
+    the params tree structure, so the same path-based rules apply — the moment
+    leaves' paths contain the param names (…/mu/layers_0/self_attn/q_proj/…)."""
+    return state.replace(
+        step=replicated(mesh),
+        params=infer_param_shardings(state.params, mesh),
+        opt_state=infer_param_shardings(state.opt_state, mesh),
+    )

@@ -1,0 +1,149 @@
+"""Inference runtime: jitted prefill + KV-cache decode with greedy/sampling.
+
+Replaces the reference's HF ``generate`` path (cambrian_llama.py:437-483):
+prefill runs towers + SVA + decoder once and fills the cache; decode steps are
+a separate jitted function over static shapes. Vision features are explicit
+carries — the reference's ``self.``-stash (cambrian_llama.py:471-474) is
+incompatible with batching >1 request (SURVEY.md §7 hard-part 6).
+
+The decode loop runs on host with a jitted step (recompile-free across steps
+and requests of the same batch shape); a fully-on-device ``lax.while_loop``
+variant is used by ``generate_on_device`` for throughput benches.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.cambrian import CambrianLM
+from ..models.language.llama import init_kv_cache
+
+
+@dataclass
+class GenerationConfig:
+    max_new_tokens: int = 128
+    temperature: float = 0.0        # 0 => greedy
+    top_p: float = 1.0
+    eos_token_id: Optional[int] = None
+    pad_token_id: int = 0
+    seed: int = 0
+
+
+def sample_token(logits: jnp.ndarray, rng, temperature: float, top_p: float):
+    """[B, V] -> [B] next tokens (greedy when temperature==0)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+class GenerationEngine:
+    """Batched multimodal generation over a fixed-size KV cache."""
+
+    def __init__(self, model: CambrianLM, params, towers: Sequence = (),
+                 max_len: int = 4096, cache_dtype=jnp.bfloat16):
+        self.model = model
+        self.params = params
+        self.towers = list(towers)
+        self.max_len = max_len
+        self.cache_dtype = cache_dtype
+
+        self._prefill = jax.jit(self._prefill_impl)
+        self._step = jax.jit(self._step_impl)
+        self._encode = jax.jit(self._encode_impl)
+
+    # -- jitted impls -------------------------------------------------------
+
+    def _encode_impl(self, tower_params, images):
+        return [t.apply(tp, px)
+                for t, tp, px in zip(self.towers, tower_params, images)]
+
+    def _prefill_impl(self, params, input_ids, attention_mask, position_ids,
+                      cache, aux_features, aux_masks):
+        return self.model.apply(
+            params, input_ids, attention_mask, position_ids, cache,
+            aux_features, aux_masks, method=CambrianLM.prefill,
+        )
+
+    def _step_impl(self, params, token, position, cache, cache_valid, cache_index):
+        return self.model.apply(
+            params, token, position, cache, cache_valid, cache_index,
+            method=CambrianLM.decode_step,
+        )
+
+    # -- public API ---------------------------------------------------------
+
+    def encode_images(self, tower_params, images):
+        return self._encode(tower_params, images)
+
+    def generate(
+        self,
+        input_ids: np.ndarray,          # [B, S] packed prompt
+        attention_mask: np.ndarray,     # [B, S]
+        position_ids: np.ndarray,       # [B, S]
+        aux_features: Optional[Sequence] = None,
+        aux_masks: Optional[Sequence] = None,
+        config: Optional[GenerationConfig] = None,
+        stopping: Optional[Callable[[np.ndarray], bool]] = None,
+    ) -> np.ndarray:
+        """Returns generated token ids [B, <=max_new_tokens] (prompt excluded)."""
+        cfg = config or GenerationConfig()
+        b, s = input_ids.shape
+        k_len = min(self.max_len, s + cfg.max_new_tokens)
+
+        cache = init_kv_cache(self.model.cfg, b, k_len, self.cache_dtype)
+        logits, cache = self._prefill(
+            self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            jnp.asarray(position_ids), cache, aux_features, aux_masks,
+        )
+        # next-token logits come from the last *valid* slot of each prompt
+        # (validity is interleaved: masked image-padding rows sit mid-sequence)
+        mask_np = np.asarray(attention_mask).astype(bool)
+        last_idx = (mask_np * np.arange(s)[None, :]).max(axis=1).astype(np.int32)
+        next_logits = jnp.take_along_axis(
+            logits, jnp.asarray(last_idx)[:, None, None], axis=1
+        )[:, 0]
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        next_pos = jnp.asarray(position_ids.max(axis=1) + 1, jnp.int32)
+        cache_valid = jnp.zeros((b, k_len), dtype=bool)
+        cache_valid = cache_valid.at[:, :s].set(jnp.asarray(attention_mask))
+
+        tokens_out: List[np.ndarray] = []
+        finished = np.zeros(b, dtype=bool)
+        token = None
+        for t in range(cfg.max_new_tokens):
+            rng, sub = jax.random.split(rng)
+            token = sample_token(next_logits, sub, cfg.temperature, cfg.top_p)
+            tok_np = np.asarray(token)
+            if cfg.eos_token_id is not None:
+                finished |= tok_np == cfg.eos_token_id
+            tokens_out.append(np.where(finished, cfg.pad_token_id, tok_np))
+            if finished.all():
+                break
+
+            write_index = s + t
+            if write_index >= k_len:
+                break
+            cache_valid = cache_valid.at[:, write_index].set(True)
+            next_logits, cache = self._step(
+                self.params, token[:, None], (next_pos + t)[:, None],
+                cache, cache_valid, jnp.int32(write_index),
+            )
+            if stopping is not None and stopping(np.stack(tokens_out, axis=1)):
+                break
+
+        return np.stack(tokens_out, axis=1) if tokens_out else np.zeros((b, 0), np.int32)

@@ -1,0 +1,80 @@
+"""End-to-end inference tests: save checkpoint -> load_pretrained_model ->
+process() -> generate(), mirroring the reference's inference.py flow."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from util import make_tiny_checkpoint  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from cambrian_tpu.constants import IMAGE_TOKEN_INDEX  # noqa: E402
+from cambrian_tpu.mm_utils import process_images, tokenizer_image_token  # noqa: E402
+from cambrian_tpu.models.builder import load_pretrained_model  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tiny_ckpt"))
+    cfg = make_tiny_checkpoint(path)
+    return path, cfg
+
+
+def test_load_pretrained_model(checkpoint):
+    path, cfg = checkpoint
+    tokenizer, model, image_processor_list, context_len = load_pretrained_model(path)
+    assert tokenizer is not None and tokenizer.bos_token_id == 1
+    assert len(image_processor_list) == 2
+    assert context_len == cfg.tokenizer_model_max_length
+    assert model.config.image_token_len == cfg.image_token_len
+    # weights actually round-tripped (not re-initialized)
+    vq = np.asarray(model.params["params"]["vision_query"])
+    assert vq.shape == (1, cfg.vision_hidden_size)
+
+
+def test_generate_end_to_end(checkpoint):
+    PIL = pytest.importorskip("PIL.Image")
+    path, cfg = checkpoint
+    tokenizer, model, image_processor_list, _ = load_pretrained_model(path)
+
+    image = PIL.new("RGB", (64, 48), (120, 180, 60))
+    prompt = "describe the <image> please"
+    input_ids = tokenizer_image_token(prompt, tokenizer, return_tensors="np")
+    image_tensor = process_images([image], image_processor_list, model.config)
+
+    out = model.generate(
+        input_ids,
+        images=image_tensor,
+        image_sizes=[image.size],
+        max_new_tokens=6,
+    )
+    assert out.shape[0] == 1 and 1 <= out.shape[1] <= 6
+    assert (out >= 0).all() and (out < cfg.vocab_size).all()
+
+    # deterministic greedy decode
+    out2 = model.generate(
+        input_ids, images=image_tensor, image_sizes=[image.size], max_new_tokens=6
+    )
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_generate_text_only(checkpoint):
+    path, cfg = checkpoint
+    tokenizer, model, _, _ = load_pretrained_model(path)
+    ids = np.asarray(tokenizer("hello world what is").input_ids, dtype=np.int32)
+    out = model.generate(ids, max_new_tokens=4)
+    assert out.shape[0] == 1 and out.shape[1] >= 1
+
+
+def test_generate_respects_eos(checkpoint):
+    """Force eos as the argmax token by zeroing logits? Instead: set
+    max_new_tokens=1 and verify single step works with eos configured."""
+    path, cfg = checkpoint
+    tokenizer, model, _, _ = load_pretrained_model(path)
+    ids = np.asarray(tokenizer("a cat sat").input_ids, dtype=np.int32)
+    out = model.generate(ids, max_new_tokens=1, eos_token_id=tokenizer.eos_token_id)
+    assert out.shape == (1, 1)

@@ -1,0 +1,108 @@
+"""End-to-end trainer test on the 8-device CPU mesh: full train() entry with
+a tiny checkpoint + JSONL dataset, Orbax checkpointing, resume, HF export."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from util import make_tiny_checkpoint  # noqa: E402
+
+from cambrian_tpu.train.train import DataArguments, ModelArguments, train  # noqa: E402
+from cambrian_tpu.train.trainer import TrainingArguments  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("trainrun")
+    ckpt = d / "base_ckpt"
+    make_tiny_checkpoint(str(ckpt))
+
+    img_dir = d / "images"
+    img_dir.mkdir()
+    Image.new("RGB", (64, 40), (200, 30, 40)).save(img_dir / "img0.jpg")
+    records = [
+        {"id": str(i), "image": "img0.jpg", "conversations": [
+            {"from": "human", "value": "<image>\nWhat is in this image?"},
+            {"from": "gpt", "value": "A cat sitting on a mat."},
+        ]} if i % 2 == 0 else
+        {"id": str(i), "conversations": [
+            {"from": "human", "value": "What is a cat?"},
+            {"from": "gpt", "value": "A cat is a small animal."},
+        ]}
+        for i in range(8)
+    ]
+    data_path = d / "train.jsonl"
+    with open(data_path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+    return d, str(ckpt), str(data_path), str(img_dir)
+
+
+def _args(d, ckpt, data_path, img_dir, out):
+    model_args = ModelArguments(
+        model_name_or_path=ckpt,
+        version="llama_3",
+        vision_tower_aux_list=json.dumps(["debug-tower-0", "debug-tower-1"]),
+        vision_tower_aux_token_len_list=json.dumps([16, 64]),
+        image_token_len=16,
+        query_num_list=json.dumps([16]),
+        connector_depth=2,
+        num_of_vision_sampler_layers=2,
+        stride_of_vision_sampler_layers=2,
+        vision_hidden_size=64,
+    )
+    data_args = DataArguments(
+        data_path=data_path, image_folder=img_dir,
+        image_position=5, model_max_length=96,
+    )
+    training_args = TrainingArguments(
+        output_dir=out,
+        num_train_epochs=3,
+        per_device_train_batch_size=1,
+        logging_steps=1,
+        save_steps=2,
+        learning_rate=1e-3,
+        warmup_ratio=0.0,
+        lr_scheduler_type="constant",
+        bf16=False,
+        mesh_data=1, mesh_fsdp=-1, mesh_model=1,
+        group_by_modality_length=True,
+    )
+    return model_args, data_args, training_args
+
+
+def test_train_entry_end_to_end(workdir):
+    d, ckpt, data_path, img_dir = workdir
+    out = str(d / "out")
+    model_args, data_args, training_args = _args(d, ckpt, data_path, img_dir, out)
+
+    history = train(model_args, data_args, training_args)
+    assert len(history) >= 2
+    assert all(np.isfinite(h["loss"]) for h in history)
+    # orbax checkpoints written
+    assert os.path.isdir(os.path.join(out, "orbax"))
+    # HF export written and loadable
+    assert os.path.exists(os.path.join(out, "config.json"))
+    assert any(f.endswith(".safetensors") for f in os.listdir(out))
+
+    from cambrian_tpu.models.builder import load_config
+
+    cfg = load_config(out)
+    assert cfg.image_token_len == 16
+
+
+def test_train_resume(workdir):
+    d, ckpt, data_path, img_dir = workdir
+    out = str(d / "out")  # same output dir as the previous test
+    model_args, data_args, training_args = _args(d, ckpt, data_path, img_dir, out)
+    training_args.train_continue = True
+
+    # resumes at the final step; loop is a no-op but restore must succeed
+    history = train(model_args, data_args, training_args)
+    assert isinstance(history, list)

@@ -67,6 +67,86 @@ def convert_llama_decoder(sd: Dict[str, np.ndarray], cfg: CambrianConfig,
     return params
 
 
+def convert_phi3_decoder(sd: Dict[str, np.ndarray], cfg: CambrianConfig,
+                         prefix: str = "model.") -> dict:
+    """HF Phi3Model -> decoder params: split the fused qkv_proj / gate_up_proj
+    (the vendored phi3 the reference carries, phi3/modeling_phi3.py)."""
+    params = {
+        "embed_tokens": {"embedding": sd[f"{prefix}embed_tokens.weight"]},
+        "norm": {"weight": sd[f"{prefix}norm.weight"]},
+    }
+    h, kvh, d = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    for i in range(cfg.num_hidden_layers):
+        lp = f"{prefix}layers.{i}."
+        qkv = sd[lp + "self_attn.qkv_proj.weight"]          # [(h+2kvh)*d, H]
+        q_w, k_w, v_w = np.split(qkv, [h * d, h * d + kvh * d], axis=0)
+        gate_up = sd[lp + "mlp.gate_up_proj.weight"]        # [2I, H]
+        gate_w, up_w = np.split(gate_up, 2, axis=0)
+        params[f"layers_{i}"] = {
+            "input_layernorm": {"weight": sd[lp + "input_layernorm.weight"]},
+            "self_attn": {
+                "q_proj": {"kernel": q_w.T},
+                "k_proj": {"kernel": k_w.T},
+                "v_proj": {"kernel": v_w.T},
+                "o_proj": _dense(sd, lp + "self_attn.o_proj"),
+            },
+            "post_attention_layernorm": {
+                "weight": sd[lp + "post_attention_layernorm.weight"]
+            },
+            "mlp": {
+                "gate_proj": {"kernel": gate_w.T},
+                "up_proj": {"kernel": up_w.T},
+                "down_proj": _dense(sd, lp + "mlp.down_proj"),
+            },
+        }
+    return params
+
+
+def convert_cohere_decoder(sd: Dict[str, np.ndarray], cfg: CambrianConfig,
+                           prefix: str = "model.") -> dict:
+    """HF CohereModel -> decoder params (parallel-residual layers with a
+    single bias-less LayerNorm per layer; tied embeddings)."""
+    params = {
+        "embed_tokens": {"embedding": sd[f"{prefix}embed_tokens.weight"]},
+        "norm": {"weight": sd[f"{prefix}norm.weight"]},
+    }
+    for i in range(cfg.num_hidden_layers):
+        lp = f"{prefix}layers.{i}."
+        layer = {
+            "input_layernorm": {"weight": sd[lp + "input_layernorm.weight"]},
+            "self_attn": {
+                "q_proj": _dense(sd, lp + "self_attn.q_proj"),
+                "k_proj": _dense(sd, lp + "self_attn.k_proj"),
+                "v_proj": _dense(sd, lp + "self_attn.v_proj"),
+                "o_proj": _dense(sd, lp + "self_attn.o_proj"),
+            },
+            "mlp": {
+                "gate_proj": _dense(sd, lp + "mlp.gate_proj"),
+                "up_proj": _dense(sd, lp + "mlp.up_proj"),
+                "down_proj": _dense(sd, lp + "mlp.down_proj"),
+            },
+        }
+        if lp + "self_attn.q_norm.weight" in sd:
+            layer["self_attn"]["q_norm"] = {"weight": sd[lp + "self_attn.q_norm.weight"]}
+            layer["self_attn"]["k_norm"] = {"weight": sd[lp + "self_attn.k_norm.weight"]}
+        params[f"layers_{i}"] = layer
+    return params
+
+
+# mistral and gemma share llama's weight naming; only runtime behavior differs
+convert_mistral_decoder = convert_llama_decoder
+convert_gemma_decoder = convert_llama_decoder
+
+
+def convert_decoder(sd: Dict[str, np.ndarray], cfg: CambrianConfig,
+                    prefix: str = "model.") -> dict:
+    if cfg.model_type == "phi3":
+        return convert_phi3_decoder(sd, cfg, prefix)
+    if cfg.model_type == "cohere":
+        return convert_cohere_decoder(sd, cfg, prefix)
+    return convert_llama_decoder(sd, cfg, prefix)
+
+
 def _convert_sva_layer(sd: Dict[str, np.ndarray], prefix: str, num_towers: int) -> dict:
     """One torch VisionCrossAttentionLayer -> flax params
     (naming map mirrors vision_sampler.py:248-327)."""
@@ -108,8 +188,8 @@ def convert_cambrian(sd: Dict[str, np.ndarray], cfg: CambrianConfig,
                      num_towers: Optional[int] = None) -> dict:
     """Full Cambrian HF checkpoint -> CambrianLM params pytree."""
     num_towers = num_towers or len(cfg.mm_vision_tower_aux_list)
-    params = convert_llama_decoder(sd, cfg, prefix="model.")
-    if not cfg.tie_word_embeddings:
+    params = convert_decoder(sd, cfg, prefix="model.")
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
         params["lm_head"] = {"kernel": sd["lm_head.weight"].T}
 
     if cfg.mm_projector_type == "sva":

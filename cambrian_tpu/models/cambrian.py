@@ -30,6 +30,7 @@ from .config import CambrianConfig
 from .language.llama import (
     LlamaDecoderLayer,
     RMSNorm,
+    decoder_norm,
     init_kv_cache,
     make_causal_mask,
     make_decode_mask,
@@ -140,7 +141,7 @@ class CambrianLM(nn.Module):
             LlamaDecoderLayer(c, dtype=self.dtype, name=f"layers_{i}")
             for i in range(c.num_hidden_layers)
         ]
-        self.norm = RMSNorm(c.rms_norm_eps, name="norm")
+        self.norm = decoder_norm(c, "norm")
         if not c.tie_word_embeddings:
             self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=jnp.float32,
                                     name="lm_head")
@@ -258,8 +259,12 @@ class CambrianLM(nn.Module):
     def _logits(self, hidden):
         if self.cfg.tie_word_embeddings:
             emb = self.embed_tokens.embedding.astype(jnp.float32)
-            return hidden.astype(jnp.float32) @ emb.T
-        return self.lm_head(hidden.astype(jnp.float32))
+            logits = hidden.astype(jnp.float32) @ emb.T
+        else:
+            logits = self.lm_head(hidden.astype(jnp.float32))
+        if self.cfg.logit_scale is not None:  # cohere
+            logits = logits * self.cfg.logit_scale
+        return logits
 
     def _splice_image(self, input_ids, image_embeds):
         """Embed text tokens and overwrite the image block slots
@@ -271,6 +276,10 @@ class CambrianLM(nn.Module):
                 embeds, image_embeds.astype(embeds.dtype),
                 self.cfg.image_position, axis=1,
             )
+        if self.cfg.model_type.startswith("gemma"):
+            # gemma scales post-splice (HF applies the normalizer to whatever
+            # inputs_embeds it is given, incl. the spliced multimodal embeds)
+            embeds = embeds * jnp.asarray(self.cfg.hidden_size ** 0.5, embeds.dtype)
         return embeds
 
     def __call__(
@@ -289,7 +298,7 @@ class CambrianLM(nn.Module):
             vision if vision is not None else (None, None, None, None)
         )
         hidden = self._splice_image(input_ids, image_embeds)
-        mask = make_causal_mask(attention_mask)
+        mask = make_causal_mask(attention_mask, self.cfg.sliding_window)
         hidden, _ = self._decoder(hidden, mask, position_ids, None, None,
                                   vision_kv, vision_masks, global_ctx,
                                   inject=vision is not None)
@@ -318,7 +327,7 @@ class CambrianLM(nn.Module):
         s = input_ids.shape[1]
         k_len = cache[0][0].shape[1]
         # queries attend causally within the prompt; cache beyond S is invalid
-        base = make_causal_mask(attention_mask)  # [B,1,S,S]
+        base = make_causal_mask(attention_mask, self.cfg.sliding_window)  # [B,1,S,S]
         pad = jnp.zeros((base.shape[0], 1, s, k_len - s), dtype=bool)
         mask = jnp.concatenate([base, pad], axis=-1)
         hidden, cache = self._decoder(hidden, mask, position_ids, cache,

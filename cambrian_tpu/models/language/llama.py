@@ -28,11 +28,37 @@ from ..config import CambrianConfig
 
 class RMSNorm(nn.Module):
     eps: float = 1e-5
+    weight_offset: float = 0.0   # gemma stores weights as (1 + w)
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.weight_offset else nn.initializers.ones
+        weight = self.param("weight", init, (x.shape[-1],), jnp.float32)
+        return rms_norm(x, weight + self.weight_offset, self.eps)
+
+
+class BiaslessLayerNorm(nn.Module):
+    """Cohere's LayerNorm: mean-centered, no bias, fp32 accumulation."""
+
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
         weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
-        return rms_norm(x, weight, self.eps)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps) * weight
+        return y.astype(x.dtype)
+
+
+def decoder_norm(cfg: "CambrianConfig", name: str):
+    """Per-family norm: LayerNorm-without-bias for cohere, RMSNorm (with the
+    gemma +1 weight convention) otherwise."""
+    if cfg.model_type == "cohere":
+        return BiaslessLayerNorm(cfg.rms_norm_eps, name=name)
+    offset = 1.0 if cfg.model_type.startswith("gemma") else 0.0
+    return RMSNorm(cfg.rms_norm_eps, weight_offset=offset, name=name)
 
 
 def rope_cos_sin(position_ids: jnp.ndarray, head_dim: int, theta: float,
@@ -56,6 +82,31 @@ def apply_rope(q, k, cos, sin):
     q = q * cos + _rotate_half(q) * sin
     k = k * cos + _rotate_half(k) * sin
     return q, k
+
+
+def rope_cos_sin_interleaved(position_ids, head_dim, theta, dtype=jnp.float32):
+    """Cohere layout: frequencies repeat-interleaved over adjacent pairs."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [B,S,D/2]
+    emb = jnp.repeat(angles, 2, axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def _rotate_interleaved(x):
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rope_interleaved(q, k, cos, sin):
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    # rope in fp32: cohere's rotation is numerically sensitive to pair mixing
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    cos32, sin32 = cos.astype(jnp.float32), sin.astype(jnp.float32)
+    q_out = q32 * cos32 + _rotate_interleaved(q32) * sin32
+    k_out = k32 * cos32 + _rotate_interleaved(k32) * sin32
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 
 class LlamaAttention(nn.Module):
@@ -83,8 +134,17 @@ class LlamaAttention(nn.Module):
         k = k.reshape(b, s, kvh, d)
         v = v.reshape(b, s, kvh, d)
 
-        cos, sin = rope_cos_sin(position_ids, d, c.rope_theta, self.dtype)
-        q, k = apply_rope(q, k, cos, sin)
+        if c.use_qk_norm:  # cohere Command-R+ style per-head qk RMSNorm
+            q = RMSNorm(c.rms_norm_eps, name="q_norm")(q)
+            k = RMSNorm(c.rms_norm_eps, name="k_norm")(k)
+
+        if c.model_type == "cohere":
+            cos, sin = rope_cos_sin_interleaved(position_ids, d, c.rope_theta,
+                                                self.dtype)
+            q, k = apply_rope_interleaved(q, k, cos, sin)
+        else:
+            cos, sin = rope_cos_sin(position_ids, d, c.rope_theta, self.dtype)
+            q, k = apply_rope(q, k, cos, sin)
 
         new_cache = None
         if cache is not None:
@@ -119,7 +179,12 @@ class LlamaMlp(nn.Module):
                         name="gate_proj")(x)
         up = nn.Dense(c.intermediate_size, use_bias=bias, dtype=self.dtype,
                       name="up_proj")(x)
-        act = nn.silu(gate) if c.hidden_act == "silu" else nn.gelu(gate, approximate=False)
+        if c.hidden_act == "silu":
+            act = nn.silu(gate)
+        elif c.hidden_act in ("gelu_pytorch_tanh", "gelu_tanh"):
+            act = nn.gelu(gate, approximate=True)
+        else:
+            act = nn.gelu(gate, approximate=False)
         return nn.Dense(c.hidden_size, use_bias=bias, dtype=self.dtype,
                         name="down_proj")(act * up)
 
@@ -131,26 +196,39 @@ class LlamaDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask, position_ids, cache=None, cache_index=None):
         c = self.cfg
+        if c.model_type == "cohere":
+            # parallel residual: x + attn(ln(x)) + mlp(ln(x)), one shared norm
+            normed = decoder_norm(c, "input_layernorm")(x)
+            attn_out, new_cache = LlamaAttention(c, dtype=self.dtype,
+                                                 name="self_attn")(
+                normed, mask, position_ids, cache, cache_index)
+            mlp_out = LlamaMlp(c, dtype=self.dtype, name="mlp")(normed)
+            return x + attn_out + mlp_out, new_cache
         h, new_cache = LlamaAttention(c, dtype=self.dtype, name="self_attn")(
-            RMSNorm(c.rms_norm_eps, name="input_layernorm")(x),
+            decoder_norm(c, "input_layernorm")(x),
             mask, position_ids, cache, cache_index,
         )
         x = x + h
         h = LlamaMlp(c, dtype=self.dtype, name="mlp")(
-            RMSNorm(c.rms_norm_eps, name="post_attention_layernorm")(x)
+            decoder_norm(c, "post_attention_layernorm")(x)
         )
         return x + h, new_cache
 
 
-def make_causal_mask(valid: jnp.ndarray) -> jnp.ndarray:
+def make_causal_mask(valid: jnp.ndarray,
+                     sliding_window: Optional[int] = None) -> jnp.ndarray:
     """[B, S] validity -> [B, 1, S, S] bool causal-and-valid attention mask.
 
     Matches HF's 4D causal mask built from the packing validity mask
     (cambrian_llama.py:123-128): position q may attend to k iff k <= q (by
-    sequence order) and slot k is valid.
+    sequence order) and slot k is valid. ``sliding_window`` (mistral/phi3)
+    additionally restricts to q - k < window.
     """
     s = valid.shape[-1]
     causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+    if sliding_window is not None:
+        offs = (jnp.arange(s)[:, None] - jnp.arange(s)[None, :]) < sliding_window
+        causal = causal & offs
     return causal[None, None, :, :] & valid[:, None, None, :].astype(bool)
 
 

@@ -1,0 +1,126 @@
+"""Logit parity of the non-llama decoder families (Phi-3, Mistral, Gemma,
+Cohere — reference cambrian/model/language_model/*) vs HF torch models with
+random weights."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from cambrian_tpu.checkpoint.hf_llm import convert_decoder
+from cambrian_tpu.models.cambrian import CambrianLM
+from cambrian_tpu.models.config import CambrianConfig
+
+RNG = np.random.default_rng(9)
+
+_COMMON_VISION = dict(
+    mm_vision_tower_aux_list=("debug-tower-0",),
+    mm_vision_tower_aux_token_len_list=(16,),
+    query_num_list=(16,), image_token_len=16, num_query_group=1,
+    connector_only=True, vision_hidden_size=32,
+)
+
+
+def _run_parity(hf_model, cfg, atol=1e-4, seq=12):
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    model = CambrianLM(cfg, (32,))
+    ids = RNG.integers(0, cfg.vocab_size, (2, seq)).astype(np.int32)
+    mask = np.ones((2, seq), dtype=bool)
+    pos = np.tile(np.arange(seq), (2, 1))
+
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), jnp.asarray(mask),
+                      jnp.asarray(pos), None, None)
+    merged = dict(init["params"])
+    converted = convert_decoder(sd, cfg)
+    if not cfg.tie_word_embeddings and "lm_head.weight" in sd:
+        converted["lm_head"] = {"kernel": sd["lm_head.weight"].T}
+    merged.update(jax.tree.map(jnp.asarray, converted))
+
+    ours = np.asarray(model.apply({"params": merged}, jnp.asarray(ids),
+                                  jnp.asarray(mask), jnp.asarray(pos), None, None))
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=atol)
+
+
+def test_phi3_parity():
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    hf_cfg = Phi3Config(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, max_position_embeddings=256,
+        sliding_window=None, tie_word_embeddings=False,
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    hf = Phi3ForCausalLM(hf_cfg).eval()
+    cfg = CambrianConfig(
+        model_type="phi3", vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, hidden_act="silu",
+        **_COMMON_VISION,
+    )
+    _run_parity(hf, cfg)
+
+
+def test_mistral_parity_with_sliding_window():
+    from transformers import MistralConfig, MistralForCausalLM
+
+    hf_cfg = MistralConfig(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=8,
+        tie_word_embeddings=False,
+    )
+    hf = MistralForCausalLM(hf_cfg).eval()
+    cfg = CambrianConfig(
+        model_type="mistral", vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, sliding_window=8,
+        **_COMMON_VISION,
+    )
+    _run_parity(hf, cfg, seq=16)  # seq > window exercises the banded mask
+
+
+def test_gemma_parity():
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    hf_cfg = GemmaConfig(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=True, hidden_activation="gelu_pytorch_tanh",
+    )
+    hf = GemmaForCausalLM(hf_cfg).eval()
+    cfg = CambrianConfig(
+        model_type="gemma", vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, rope_theta=10000.0,
+        tie_word_embeddings=True, hidden_act="gelu_pytorch_tanh",
+        **_COMMON_VISION,
+    )
+    _run_parity(hf, cfg, atol=2e-4)
+
+
+def test_cohere_parity():
+    from transformers import CohereConfig, CohereForCausalLM
+
+    hf_cfg = CohereConfig(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        layer_norm_eps=1e-5, rope_theta=10000.0, logit_scale=0.0625,
+        tie_word_embeddings=True, use_qk_norm=False,
+    )
+    hf = CohereForCausalLM(hf_cfg).eval()
+    cfg = CambrianConfig(
+        model_type="cohere", vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, logit_scale=0.0625,
+        tie_word_embeddings=True, use_qk_norm=False,
+        **_COMMON_VISION,
+    )
+    _run_parity(hf, cfg)

@@ -100,6 +100,25 @@ class GenerationEngine:
         stopping: Optional[Callable[[np.ndarray], bool]] = None,
     ) -> np.ndarray:
         """Returns generated token ids [B, <=max_new_tokens] (prompt excluded)."""
+        out = None
+        for out in self.generate_stream(input_ids, attention_mask, position_ids,
+                                        aux_features, aux_masks, config, stopping):
+            pass
+        return out if out is not None else np.zeros((input_ids.shape[0], 0), np.int32)
+
+    def generate_stream(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        position_ids: np.ndarray,
+        aux_features: Optional[Sequence] = None,
+        aux_masks: Optional[Sequence] = None,
+        config: Optional[GenerationConfig] = None,
+        stopping: Optional[Callable[[np.ndarray], bool]] = None,
+    ):
+        """Yields the generated ids so far [B, t] after every decode step
+        (feeds the serving tier's incremental text streaming,
+        model_worker.py:170-196 semantics)."""
         cfg = config or GenerationConfig()
         b, s = input_ids.shape
         k_len = min(self.max_len, s + cfg.max_new_tokens)
@@ -132,6 +151,7 @@ class GenerationEngine:
             if cfg.eos_token_id is not None:
                 finished |= tok_np == cfg.eos_token_id
             tokens_out.append(np.where(finished, cfg.pad_token_id, tok_np))
+            yield np.stack(tokens_out, axis=1)
             if finished.all():
                 break
 
@@ -145,5 +165,3 @@ class GenerationEngine:
             )
             if stopping is not None and stopping(np.stack(tokens_out, axis=1)):
                 break
-
-        return np.stack(tokens_out, axis=1) if tokens_out else np.zeros((b, 0), np.int32)

@@ -166,6 +166,18 @@ class CambrianForInference:
                  image_sizes: Optional[Sequence] = None, **gen_kwargs) -> np.ndarray:
         """Reference generate() semantics (cambrian_llama.py:437-483): packed
         prompt + per-tower image batches -> generated ids."""
+        args = self._prepare_generate(input_ids, images, image_sizes, **gen_kwargs)
+        return self.engine.generate(*args)
+
+    def generate_stream(self, input_ids: np.ndarray,
+                        images: Optional[Sequence] = None,
+                        image_sizes: Optional[Sequence] = None, **gen_kwargs):
+        """Yields generated ids so far after each decode step (serving tier)."""
+        args = self._prepare_generate(input_ids, images, image_sizes, **gen_kwargs)
+        yield from self.engine.generate_stream(*args)
+
+    def _prepare_generate(self, input_ids, images=None, image_sizes=None,
+                          **gen_kwargs):
         from ..infer.engine import GenerationConfig
 
         if images is not None:
@@ -192,7 +204,7 @@ class CambrianForInference:
                 getattr(self.tokenizer, "eos_token_id", None) or self.config.eos_token_id,
             ),
         )
-        return self.engine.generate(pids, pmask, ppos, feats, aux_masks, cfg)
+        return pids, pmask, ppos, feats, aux_masks, cfg
 
 
 def load_pretrained_model(

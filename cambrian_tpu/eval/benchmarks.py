@@ -1,0 +1,219 @@
+"""The 26-benchmark suite (reference eval/eval/*, eval/README.md).
+
+Each entry maps a dataset record to a prompt + gold answer and names its
+scorer. Field mapping follows the benchmarks' published HF layouts with
+fallbacks, since records arrive via --dataset_path overrides in zero-egress
+environments. CV-Bench's three splits (ade/coco/omni) are first-class
+(BASELINE.json configs).
+"""
+
+import string
+from typing import Dict, List, Optional, Sequence
+
+from .base import (
+    Benchmark,
+    anls,
+    contains_match,
+    exact_match,
+    mme_score,
+    multiple_choice_accuracy,
+    normalized_edit_similarity,
+    register_benchmark,
+    relaxed_accuracy,
+    vqa_soft_accuracy,
+    yes_no_metrics,
+)
+
+SHORT_HINT = "\nAnswer the question using a single word or phrase."
+MCQ_HINT = "\nAnswer with the option's letter from the given choices directly."
+
+
+def _get(record, *keys, default=None):
+    for k in keys:
+        if k in record and record[k] is not None:
+            return record[k]
+    return default
+
+
+def _format_choices(choices: Sequence[str]) -> str:
+    letters = string.ascii_uppercase
+    return "\n".join(f"{letters[i]}. {c}" for i, c in enumerate(choices))
+
+
+def _mcq_prompt(record) -> dict:
+    question = _get(record, "question", "query", "text")
+    choices = _get(record, "choices", "options", default=None)
+    if choices is None:
+        # mmbench-style per-letter columns
+        choices = [record[k] for k in ("A", "B", "C", "D", "E", "F")
+                   if record.get(k) not in (None, "", "nan")]
+    text = f"{question}\n{_format_choices(choices)}{MCQ_HINT}"
+    return dict(
+        text=text,
+        image=_get(record, "image", "decoded_image"),
+        answer=_get(record, "answer", "label"),
+        choices=[str(c) for c in choices],
+    )
+
+
+def _short_prompt(record) -> dict:
+    question = _get(record, "question", "query", "text")
+    return dict(
+        text=f"{question}{SHORT_HINT}",
+        image=_get(record, "image", "decoded_image"),
+        answer=_get(record, "answer", "label", "answer_gt", default=""),
+        answers=_get(record, "answers", default=None),
+    )
+
+
+def _open_prompt(record) -> dict:
+    question = _get(record, "question", "query", "text", "instruction")
+    return dict(
+        text=question,
+        image=_get(record, "image", "decoded_image"),
+        answer=_get(record, "answer", "label", default=""),
+    )
+
+
+# --- VQA family -------------------------------------------------------------
+
+register_benchmark(Benchmark(
+    name="gqa", dataset="lmms-lab/GQA", split="test",
+    build_prompt=_short_prompt, score=exact_match,
+))
+
+register_benchmark(Benchmark(
+    name="vizwiz", dataset="lmms-lab/VizWiz-VQA", split="val",
+    build_prompt=lambda r: dict(
+        text=f"{_get(r, 'question')}\nWhen the provided information is "
+             f"insufficient, respond with 'Unanswerable'.{SHORT_HINT}",
+        image=_get(r, "image"),
+        answer=_get(r, "answer", default=""),
+        answers=_get(r, "answers"),
+    ),
+    score=vqa_soft_accuracy,
+))
+
+register_benchmark(Benchmark(
+    name="textvqa", dataset="lmms-lab/textvqa", split="validation",
+    build_prompt=_short_prompt, score=vqa_soft_accuracy,
+))
+
+register_benchmark(Benchmark(
+    name="pope", dataset="lmms-lab/POPE", split="test",
+    build_prompt=_short_prompt, score=yes_no_metrics,
+    metric_names=("accuracy", "precision", "recall", "f1"),
+    primary_metric="f1",
+))
+
+register_benchmark(Benchmark(
+    name="mme", dataset="lmms-lab/MME", split="test",
+    build_prompt=lambda r: dict(
+        text=_get(r, "question"),
+        image=_get(r, "image"),
+        answer=_get(r, "answer"),
+        image_id=_get(r, "question_id", "image_id", "image"),
+        category=_get(r, "category", default=""),
+    ),
+    score=mme_score,
+    metric_names=("accuracy", "acc_plus", "score"), primary_metric="score",
+))
+
+# --- MCQ family ---------------------------------------------------------------
+
+for _name, _ds, _split in [
+    ("scienceqa", "derek-thomas/ScienceQA", "test"),
+    ("mmbench_en", "lmms-lab/MMBench_EN", "dev"),
+    ("mmbench_cn", "lmms-lab/MMBench_CN", "dev"),
+    ("seed", "lmms-lab/SEED-Bench", "test"),
+    ("ai2d", "lmms-lab/ai2d", "test"),
+    ("mmstar", "Lin-Chen/MMStar", "val"),
+    ("realworldqa", "xai-org/RealworldQA", "test"),
+    ("qbench", "q-future/Q-Bench-HF", "dev"),
+    ("blink", "BLINK-Benchmark/BLINK", "val"),
+    ("mmvp", "MMVP/MMVP", "test"),
+    ("vstar", "craigwu/vstar_bench", "test"),
+]:
+    register_benchmark(Benchmark(
+        name=_name, dataset=_ds, split=_split,
+        build_prompt=_mcq_prompt, score=multiple_choice_accuracy,
+    ))
+
+# CV-Bench: the reference's ade/omni/coco splits (ade_eval.py:75 loads
+# benchmark_ade_manual etc.)
+for _name in ["ade", "coco", "omni"]:
+    register_benchmark(Benchmark(
+        name=_name, dataset=f"nyu-visionx/CV-Bench", split="test",
+        build_prompt=_mcq_prompt, score=multiple_choice_accuracy,
+        notes=f"CV-Bench {_name} split",
+    ))
+
+register_benchmark(Benchmark(
+    name="mmmu", dataset="lmms-lab/MMMU", split="validation",
+    build_prompt=lambda r: (
+        _mcq_prompt(r) if _get(r, "question_type", default="multiple-choice")
+        == "multiple-choice" else _open_prompt(r)
+    ),
+    score=multiple_choice_accuracy,
+    notes="open-ended MMMU rows scored by exact match on the extracted span",
+))
+
+# --- document / OCR family ---------------------------------------------------
+
+register_benchmark(Benchmark(
+    name="docvqa", dataset="lmms-lab/DocVQA", split="validation",
+    build_prompt=_short_prompt, score=anls,
+    metric_names=("anls",), primary_metric="anls",
+))
+
+register_benchmark(Benchmark(
+    name="infovqa", dataset="lmms-lab/DocVQA", split="validation",
+    build_prompt=_short_prompt, score=anls,
+    metric_names=("anls",), primary_metric="anls",
+    notes="InfographicVQA config of the DocVQA dataset",
+))
+
+register_benchmark(Benchmark(
+    name="stvqa", dataset="lmms-lab/ST-VQA", split="test",
+    build_prompt=_short_prompt, score=anls,
+    metric_names=("anls",), primary_metric="anls",
+))
+
+register_benchmark(Benchmark(
+    name="chartqa", dataset="lmms-lab/ChartQA", split="test",
+    build_prompt=_short_prompt, score=relaxed_accuracy,
+))
+
+register_benchmark(Benchmark(
+    name="ocrbench", dataset="echo840/OCRBench", split="test",
+    build_prompt=_short_prompt, score=contains_match,
+))
+
+register_benchmark(Benchmark(
+    name="synthdog", dataset="naver-clova-ix/synthdog-en", split="validation",
+    build_prompt=lambda r: dict(
+        text="Read all the text in the image.",
+        image=_get(r, "image"),
+        answer=_get(r, "ground_truth", "answer", default=""),
+    ),
+    score=normalized_edit_similarity,
+    metric_names=("similarity",), primary_metric="similarity",
+))
+
+# --- open-ended / judged family -----------------------------------------------
+
+register_benchmark(Benchmark(
+    name="mmvet", dataset="lmms-lab/MMVet", split="test",
+    build_prompt=_open_prompt, score=contains_match,
+    notes="reference scores MM-Vet with a GPT-4 judge; rule-based proxy here",
+))
+
+register_benchmark(Benchmark(
+    name="mathvista", dataset="AI4Math/MathVista", split="testmini",
+    build_prompt=lambda r: (
+        _mcq_prompt(r) if _get(r, "question_type") == "multi_choice"
+        else _short_prompt(r)
+    ),
+    score=exact_match,
+    notes="reference extracts answers with GPT; regex extraction here",
+))

@@ -298,7 +298,7 @@ class CambrianLM(nn.Module):
             vision if vision is not None else (None, None, None, None)
         )
         hidden = self._splice_image(input_ids, image_embeds)
-        mask = make_causal_mask(attention_mask, self.cfg.sliding_window)
+        mask = make_causal_mask(attention_mask)
         hidden, _ = self._decoder(hidden, mask, position_ids, None, None,
                                   vision_kv, vision_masks, global_ctx,
                                   inject=vision is not None)
@@ -326,10 +326,10 @@ class CambrianLM(nn.Module):
         hidden = self._splice_image(input_ids, image_embeds)
         s = input_ids.shape[1]
         k_len = cache[0][0].shape[1]
-        # queries attend causally within the prompt; cache beyond S is invalid
-        base = make_causal_mask(attention_mask, self.cfg.sliding_window)  # [B,1,S,S]
-        pad = jnp.zeros((base.shape[0], 1, s, k_len - s), dtype=bool)
-        mask = jnp.concatenate([base, pad], axis=-1)
+        # queries attend causally within the prompt; cache slots beyond the
+        # prompt are not yet valid
+        pad = jnp.zeros((attention_mask.shape[0], k_len - s), dtype=bool)
+        mask = make_causal_mask(jnp.concatenate([attention_mask, pad], axis=-1))
         hidden, cache = self._decoder(hidden, mask, position_ids, cache,
                                       jnp.int32(0), vision_kv, vision_masks,
                                       global_ctx, inject=vision is not None)

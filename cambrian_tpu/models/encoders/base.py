@@ -189,10 +189,18 @@ def build_vision_tower(name: str, dtype=jnp.float32) -> VisionTower:
     (multimodal_encoder/builder.py:23-82)."""
     base, res, interp = extract_res_interp(name)
     lowered = name.lower()
-    for substr, builder in _REGISTRY.items():
-        if substr.lower() in lowered:
-            return builder(name, res, interp, dtype)
-    raise ValueError(f"Unknown vision tower: {name}")
+    # prefix matches beat substring matches; longer keys beat shorter ones
+    # (so "dfn-clip-vit-h" resolves to the dfn builder, not "clip-vit")
+    matches = [k for k in _REGISTRY if k.lower() in lowered]
+    if not matches:
+        raise ValueError(f"Unknown vision tower: {name}")
+    def rank(k):
+        kl = k.lower()
+        return (lowered.startswith(kl),                      # full-name prefix
+                lowered.split("/")[-1].startswith(kl),       # after-org prefix
+                len(kl))
+    key = max(matches, key=rank)
+    return _REGISTRY[key](name, res, interp, dtype)
 
 
 def build_vision_tower_aux_list(tower_names, token_len_list, dtype=jnp.float32):

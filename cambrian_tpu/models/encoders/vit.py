@@ -88,10 +88,10 @@ class ViTAttention(nn.Module):
         q = q.reshape(b, n, c.num_heads, head_dim)
         k = k.reshape(b, n, c.num_heads, head_dim)
         v = v.reshape(b, n, c.num_heads, head_dim)
-        # Non-causal full attention; fp32 softmax
-        from ...ops.attention import dot_product_attention
+        # Non-causal full attention, fused (Pallas on TPU, XLA elsewhere)
+        from ...ops.flash_attention import flash_attention
 
-        out = dot_product_attention(q, k, v).reshape(b, n, c.hidden_size)
+        out = flash_attention(q, k, v).reshape(b, n, c.hidden_size)
         return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
 
 

@@ -117,7 +117,7 @@ class LlamaAttention(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,                     # [B, S, C]
-        mask: jnp.ndarray,                  # bool [B, 1, S, K]
+        mask: "AttentionMask",              # structural mask (see below)
         position_ids: jnp.ndarray,          # [B, S]
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
@@ -161,7 +161,19 @@ class LlamaAttention(nn.Module):
             k = jnp.repeat(k, reps, axis=2)
             v = jnp.repeat(v, reps, axis=2)
 
-        out = dot_product_attention(q, k, v, mask)
+        from ...ops.flash_attention import flash_attention
+
+        if s >= 128:
+            # prefill/train: fused Pallas attention with structural masking
+            out = flash_attention(
+                q, k, v, key_valid=mask.key_valid, causal=mask.causal,
+                sliding_window=c.sliding_window, q_offset=mask.q_offset,
+            )
+        else:
+            # decode steps: q is tiny; padding it to an MXU tile wastes more
+            # than the fused kernel saves -> plain XLA attention over the cache
+            out = dot_product_attention(
+                q, k, v, mask.dense(s, k.shape[1], c.sliding_window))
         out = out.reshape(b, s, h * d)
         out = nn.Dense(c.hidden_size, use_bias=bias, dtype=self.dtype, name="o_proj")(out)
         return out, new_cache
@@ -215,26 +227,48 @@ class LlamaDecoderLayer(nn.Module):
         return x + h, new_cache
 
 
-def make_causal_mask(valid: jnp.ndarray,
-                     sliding_window: Optional[int] = None) -> jnp.ndarray:
-    """[B, S] validity -> [B, 1, S, S] bool causal-and-valid attention mask.
+from flax import struct
 
-    Matches HF's 4D causal mask built from the packing validity mask
-    (cambrian_llama.py:123-128): position q may attend to k iff k <= q (by
-    sequence order) and slot k is valid. ``sliding_window`` (mistral/phi3)
-    additionally restricts to q - k < window.
+
+class AttentionMask(struct.PyTreeNode):
+    """Structural attention mask: a per-key validity vector (the packing mask,
+    train_fsdp.py:1089-1165) plus a static causal flag — never a materialized
+    [S, S] tensor. The Pallas kernel consumes it directly; ``dense()``
+    materializes the equivalent 4D bool mask for the small-q XLA path.
     """
-    s = valid.shape[-1]
-    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
-    if sliding_window is not None:
-        offs = (jnp.arange(s)[:, None] - jnp.arange(s)[None, :]) < sliding_window
-        causal = causal & offs
-    return causal[None, None, :, :] & valid[:, None, None, :].astype(bool)
+
+    key_valid: jnp.ndarray                               # [B, K] bool
+    causal: bool = struct.field(pytree_node=False, default=True)
+    q_offset: int = struct.field(pytree_node=False, default=0)
+
+    def dense(self, s_q: int, s_k: int,
+              sliding_window: Optional[int] = None) -> jnp.ndarray:
+        """[B, 1, S_q, S_k] bool mask (HF 4D semantics,
+        cambrian_llama.py:123-128)."""
+        mask = self.key_valid[:, None, None, :].astype(bool)
+        if self.causal or sliding_window is not None:
+            q_pos = self.q_offset + jnp.arange(s_q)[:, None]
+            k_pos = jnp.arange(s_k)[None, :]
+            keep = jnp.ones((s_q, s_k), dtype=bool)
+            if self.causal:
+                keep = keep & (k_pos <= q_pos)
+            if sliding_window is not None:
+                keep = keep & ((q_pos - k_pos) < sliding_window)
+            mask = mask & keep[None, None]
+        return mask
 
 
-def make_decode_mask(cache_valid: jnp.ndarray) -> jnp.ndarray:
-    """[B, K] cache-slot validity -> [B, 1, 1, K] decode-step mask."""
-    return cache_valid[:, None, None, :].astype(bool)
+def make_causal_mask(valid: jnp.ndarray,
+                     sliding_window: Optional[int] = None) -> AttentionMask:
+    """[B, S] validity -> causal structural mask (window applied per-layer
+    from the config inside the attention op)."""
+    return AttentionMask(key_valid=valid.astype(bool), causal=True)
+
+
+def make_decode_mask(cache_valid: jnp.ndarray) -> AttentionMask:
+    """[B, K] cache-slot validity -> decode-step mask. For sliding-window
+    models the engine invalidates cache slots older than the window."""
+    return AttentionMask(key_valid=cache_valid.astype(bool), causal=False)
 
 
 def init_kv_cache(cfg: CambrianConfig, batch: int, max_len: int, dtype=jnp.bfloat16):

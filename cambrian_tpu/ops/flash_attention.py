@@ -1,0 +1,200 @@
+"""Fused attention Pallas kernel.
+
+Replaces the XLA attention path's HBM-materialized [B, H, S, S] logits with a
+kernel that streams K/V through VMEM and never writes probabilities to HBM —
+the TPU equivalent of the reference's flash-attn/SDPA fused kernels
+(SURVEY.md §2.9: torch SDPA in vision_sampler.py:109-114 and the HF decoders'
+SDPA attention, flash-attn on the GPU path).
+
+Design: grid over (batch*heads, q-blocks); each program loads its q block and
+the full K/V stripe for that batch-head into VMEM (S <= ~4k fits comfortably:
+K+V at 4096x128xbf16 = 2 MB), computes masked fp32 logits for the block, a
+row-complete softmax (no online rescaling needed since the whole row is
+resident), and one [block_q, S] x [S, D] matmul on the MXU.
+
+Masking is structural, not a materialized [S, S] tensor: a per-key validity
+vector (the packing mask, train_fsdp.py:1089-1165) plus causal / sliding-
+window predicates built from block indices via iota.
+
+Differentiable via custom_vjp; the backward pass currently recomputes with
+the XLA einsum path (correct; a fused backward kernel is a planned
+optimization).
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale, causal,
+                 block_q, sliding_window, q_offset):
+    qi = pl.program_id(1)
+    q = q_ref[0]          # [block_q, D]
+    k = k_ref[0]          # [S_k, D]
+    v = v_ref[0]          # [S_k, D]
+    s_k = k.shape[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale             # [block_q, S_k]
+
+    mask = valid_ref[0] > 0   # [1, S_k] (kept 2-D: Mosaic rejects 1-D vectors)
+    if causal or sliding_window is not None:
+        q_pos = (qi * block_q + q_offset
+                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_k), 0))
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_k), 1)
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        if sliding_window is not None:
+            mask = mask & (q_pos - k_pos < sliding_window)
+
+    logits = jnp.where(mask, logits, NEG_INF)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits - row_max)
+    probs = jnp.where(mask, probs, 0.0)
+    denom = jnp.sum(probs, axis=-1, keepdims=True)
+    probs = probs / jnp.maximum(denom, 1e-30)
+    out = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
+                    q_offset, block_q):
+    """q [BH, Sq, D], k/v [BH, Sk, D], key_valid [BH, Sk] -> [BH, Sq, D]."""
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+
+    d_pad = _round_up(d, 128)
+    sq_pad = _round_up(s_q, block_q)
+    sk_pad = _round_up(s_k, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - s_q), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, sk_pad - s_k), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, sk_pad - s_k), (0, d_pad - d)))
+    validp = jnp.pad(key_valid.astype(jnp.int32), ((0, 0), (0, sk_pad - s_k)))
+    validp = validp[:, None, :]  # sublane dim for the (8,128) tile rule
+
+    grid = (bh, sq_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel, scale=scale, causal=causal, block_q=block_q,
+            sliding_window=sliding_window, q_offset=q_offset,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq_pad * sk_pad * d_pad,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=bh * sq_pad * sk_pad,
+        ),
+    )(qp, kp, vp, validp)
+    return out[:, :s_q, :d]
+
+
+def _xla_reference(q, k, v, key_valid, scale, causal, sliding_window, q_offset):
+    """Plain-XLA attention with identical mask semantics (CPU path + the
+    custom-vjp backward)."""
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    logits = jnp.einsum("bqd,bkd->bqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    mask = key_valid[:, None, :].astype(bool)
+    if causal or sliding_window is not None:
+        q_pos = q_offset + jnp.arange(s_q)[:, None]
+        k_pos = jnp.arange(s_k)[None, :]
+        if causal:
+            mask = mask & (k_pos <= q_pos)[None]
+        if sliding_window is not None:
+            mask = mask & ((q_pos - k_pos) < sliding_window)[None]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jnp.where(mask, probs, 0.0)
+    return jnp.einsum("bqk,bkd->bqd", probs.astype(q.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, key_valid, scale, causal, sliding_window, q_offset, block_q):
+    return _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
+                           q_offset, block_q)
+
+
+def _flash_fwd(q, k, v, key_valid, scale, causal, sliding_window, q_offset,
+               block_q):
+    out = _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
+                          q_offset, block_q)
+    return out, (q, k, v, key_valid)
+
+
+def _flash_bwd(scale, causal, sliding_window, q_offset, block_q, res, g):
+    q, k, v, key_valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_valid, scale, causal,
+                                          sliding_window, q_offset),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,                 # [B, Sq, H, D]
+    k: jnp.ndarray,                 # [B, Sk, H, D]
+    v: jnp.ndarray,                 # [B, Sk, H, D]
+    key_valid: Optional[jnp.ndarray] = None,   # [B, Sk] bool
+    causal: bool = False,
+    sliding_window: Optional[int] = None,
+    q_offset: int = 0,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+) -> jnp.ndarray:
+    """Fused masked attention in BQHD layout; falls back to the XLA path off
+    TPU (tests run on the CPU mesh; pallas-interpret is too slow there)."""
+    b, s_q, h, d = q.shape
+    s_k = k.shape[1]
+    if scale is None:
+        scale = d ** -0.5
+    if key_valid is None:
+        key_valid = jnp.ones((b, s_k), dtype=bool)
+    block_q = min(block_q, _round_up(s_q, 128))
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+    validf = jnp.repeat(key_valid, h, axis=0)
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        out = _flash(qf, kf, vf, validf, scale, causal, sliding_window,
+                     q_offset, block_q)
+    else:
+        out = _xla_reference(qf, kf, vf, validf, scale, causal, sliding_window,
+                             q_offset)
+    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)

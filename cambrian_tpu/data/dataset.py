@@ -97,6 +97,26 @@ class LazySupervisedDataset:
     def _process_image_all_towers(self, image):
         processors = self.data_args.image_processor_aux_list
         image_size = image.size
+        use_native = getattr(self.data_args, "use_native_preprocess", True)
+        if use_native:
+            from . import native_image
+
+            if native_image.available():
+                arr = np.asarray(image.convert("RGB"), dtype=np.uint8)
+                image_aux_list = []
+                for processor in processors:
+                    if type(processor).__name__ != "ImageProcessor":
+                        break  # custom processors (e.g. SAM) keep their path
+                    out = native_image.preprocess_batch(
+                        [arr], processor.crop_size["height"],
+                        processor.image_mean, processor.image_std,
+                        resample=native_image.RESAMPLE_BICUBIC
+                        if processor.resample == "bicubic"
+                        else native_image.RESAMPLE_BILINEAR,
+                    )
+                    image_aux_list.append(out[0])
+                else:
+                    return image_aux_list, image_size
         image_aux_list = []
         for processor in processors:
             target = processor.crop_size["height"]

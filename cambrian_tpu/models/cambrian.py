@@ -109,10 +109,13 @@ class CambrianLM(nn.Module):
                 )
                 for g, qn in enumerate(c.query_num_list)
             ]
-            # in-LLM samplers (cambrian_arch.py:62-69)
+            # in-LLM samplers (cambrian_arch.py:62-69); rematted like the
+            # reference grad-ckpts them (cambrian_llama.py:189-196)
+            SamplerCls = (nn.remat(VisionTokenSampler, prevent_cse=False)
+                          if c.remat else VisionTokenSampler)
             if not c.connector_only:
                 self.vision_sampler_layers = [
-                    VisionTokenSampler(
+                    SamplerCls(
                         q_dim=c.hidden_size,
                         kv_size_list=c.cross_att_window_sizes(c.image_token_len),
                         vision_hidden_size=vh,
@@ -137,8 +140,13 @@ class CambrianLM(nn.Module):
             nn.initializers.normal(stddev=c.hidden_size ** -0.5),
             (c.hidden_size,), jnp.float32,
         )
+        # gradient checkpointing: recompute each decoder layer in the backward
+        # pass (jax.remat; replaces the reference's torch_xla checkpoint
+        # injection, cambrian_llama.py:337-343 / train_fsdp grad-ckpt config)
+        LayerCls = (nn.remat(LlamaDecoderLayer, prevent_cse=False)
+                    if c.remat else LlamaDecoderLayer)
         self.layers = [
-            LlamaDecoderLayer(c, dtype=self.dtype, name=f"layers_{i}")
+            LayerCls(c, dtype=self.dtype, name=f"layers_{i}")
             for i in range(c.num_hidden_layers)
         ]
         self.norm = decoder_norm(c, "norm")

@@ -1,0 +1,55 @@
+"""Gradient checkpointing: remat must not change values or gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cambrian_tpu.constants import IMAGE_TOKEN_INDEX
+from cambrian_tpu.data.packing import prepare_multimodal_data
+from cambrian_tpu.models.cambrian import CambrianLM, cross_entropy_loss
+from cambrian_tpu.models.config import tiny_debug
+from cambrian_tpu.models.encoders.base import build_vision_tower_aux_list
+
+RNG = np.random.default_rng(17)
+
+
+def test_remat_matches_no_remat():
+    cfg = tiny_debug(num_towers=1)
+    towers = build_vision_tower_aux_list(
+        cfg.mm_vision_tower_aux_list, cfg.mm_vision_tower_aux_token_len_list
+    )
+    hidden_sizes = tuple(t.hidden_size for t in towers)
+
+    b, seq = 1, 24
+    ids = RNG.integers(5, cfg.vocab_size, (b, seq)).astype(np.int64)
+    ids[:, cfg.image_position] = IMAGE_TOKEN_INDEX
+    mask = np.ones((b, seq), dtype=bool)
+    pids, plabels, pmask, ppos, aux_masks = prepare_multimodal_data(
+        ids, ids.copy(), mask, [(64, 64)] * b, cfg.image_token_len,
+        cfg.mm_vision_tower_aux_token_len_list, cfg.tokenizer_model_max_length,
+    )
+    feats = [jnp.asarray(RNG.standard_normal(
+        (b, t.interp_size, t.hidden_size), dtype=np.float32)) for t in towers]
+    args = (jnp.asarray(pids), jnp.asarray(pmask), jnp.asarray(ppos),
+            feats, [jnp.asarray(m) for m in aux_masks])
+
+    model_plain = CambrianLM(cfg.replace(remat=False), hidden_sizes)
+    model_remat = CambrianLM(cfg.replace(remat=True), hidden_sizes)
+    params = model_plain.init(jax.random.PRNGKey(0), *args)
+
+    def loss(model, p):
+        return cross_entropy_loss(model.apply(p, *args), jnp.asarray(plabels))
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_plain, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(model_remat, p))(params)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for (p1, a), (p2, b_) in zip(
+        jax.tree_util.tree_flatten_with_path(g1)[0],
+        jax.tree_util.tree_flatten_with_path(g2)[0],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))

@@ -149,10 +149,18 @@ class LlamaAttention(nn.Module):
         new_cache = None
         if cache is not None:
             cache_k, cache_v = cache
-            k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
-                                             (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
-                                             (0, cache_index, 0, 0))
+            if jnp.ndim(cache_index) == 0:
+                # shared write offset (plain prefill / lockstep decode)
+                k = jax.lax.dynamic_update_slice(
+                    cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0))
+                v = jax.lax.dynamic_update_slice(
+                    cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0))
+            else:
+                # per-slot write positions [B] (continuous batching: every
+                # request sits at a different depth in its cache row)
+                bidx = jnp.arange(b)
+                k = cache_k.at[bidx, cache_index].set(k[:, 0].astype(cache_k.dtype))
+                v = cache_v.at[bidx, cache_index].set(v[:, 0].astype(cache_v.dtype))
             new_cache = (k, v)
 
         # GQA: expand kv heads to full heads

@@ -1,0 +1,86 @@
+"""Continuous batching must reproduce the sequential engine's greedy outputs
+while serving multiple requests through one shared cache."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from util import make_tiny_checkpoint  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from cambrian_tpu.infer.continuous import ContinuousBatchingEngine  # noqa: E402
+from cambrian_tpu.infer.engine import GenerationConfig, GenerationEngine  # noqa: E402
+from cambrian_tpu.models.builder import load_pretrained_model  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cb_ckpt"))
+    make_tiny_checkpoint(path)
+    tokenizer, model, processors, _ = load_pretrained_model(path)
+    return tokenizer, model
+
+
+def _mk_prompt(tokenizer, text):
+    ids = np.asarray(tokenizer(text).input_ids, dtype=np.int32)[None]
+    mask = np.ones_like(ids, dtype=bool)
+    pos = np.tile(np.arange(ids.shape[1]), (1, 1))
+    return ids, mask, pos
+
+
+def test_continuous_matches_sequential(bundle):
+    tokenizer, model = bundle
+    prompts = [
+        "a cat sat on the mat",
+        "describe the picture please user",
+        "hello world what is in this image today",
+    ]
+    cfg = GenerationConfig(max_new_tokens=5, temperature=0.0)
+
+    seq_engine = GenerationEngine(model.lm, model.params, model.towers,
+                                  max_len=256, cache_dtype=jnp.float32)
+    expected = []
+    for p in prompts:
+        ids, mask, pos = _mk_prompt(tokenizer, p)
+        expected.append(seq_engine.generate(ids, mask, pos, None, None, cfg)[0])
+
+    cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
+                                  max_len=256, cache_dtype=jnp.float32)
+    reqs = []
+    for p in prompts:
+        ids, mask, pos = _mk_prompt(tokenizer, p)
+        reqs.append(cb.submit(ids, mask, pos, config=cfg))
+    outs = cb.run_until_complete(reqs)
+
+    for out, exp in zip(outs, expected):
+        np.testing.assert_array_equal(out, np.asarray(exp))
+
+
+def test_slots_are_reused(bundle):
+    tokenizer, model = bundle
+    cfg = GenerationConfig(max_new_tokens=3, temperature=0.0)
+    cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=1,
+                                  max_len=128, cache_dtype=jnp.float32)
+    reqs = []
+    for p in ["a cat", "the mat", "hello world"]:
+        ids, mask, pos = _mk_prompt(tokenizer, p)
+        reqs.append(cb.submit(ids, mask, pos, config=cfg))
+    outs = cb.run_until_complete(reqs)
+    assert all(len(o) == 3 for o in outs)
+    assert all(r.finished for r in reqs)
+
+
+def test_streaming_callback(bundle):
+    tokenizer, model = bundle
+    cfg = GenerationConfig(max_new_tokens=4, temperature=0.0)
+    cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
+                                  max_len=128, cache_dtype=jnp.float32)
+    seen = []
+    ids, mask, pos = _mk_prompt(tokenizer, "a cat sat")
+    req = cb.submit(ids, mask, pos, config=cfg, on_token=seen.append)
+    cb.run_until_complete([req])
+    assert seen == req.tokens and len(seen) == 4

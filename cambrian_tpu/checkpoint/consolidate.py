@@ -31,11 +31,6 @@ def consolidate(ckpt_dir: str, output_dir: str, config_path: str = None,
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {orbax_path}")
 
-    restored = mgr.restore(step, args=ocp.args.Composite(
-        params=ocp.args.StandardRestore(),
-    ))
-    params = restored["params"]
-
     config_path = config_path or os.path.join(ckpt_dir, "config.json")
     with open(config_path) as f:
         raw = json.load(f)
@@ -44,6 +39,43 @@ def consolidate(ckpt_dir: str, output_dir: str, config_path: str = None,
 
     raw["model_type"] = _MODEL_TYPE_MAP.get(raw["model_type"], raw["model_type"])
     config = CambrianConfig.from_dict(raw)
+
+    # Restore onto THIS host regardless of the saving topology (consolidation
+    # typically runs on a CPU VM, not the pod that trained). The checkpoint's
+    # own sharding metadata names the original devices, so build the abstract
+    # restore target from the model structure with local shardings instead.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models.cambrian import CambrianLM
+    from ..models.encoders.base import build_vision_tower_aux_list
+
+    towers = build_vision_tower_aux_list(
+        config.mm_vision_tower_aux_list, config.mm_vision_tower_aux_token_len_list
+    )
+    model = CambrianLM(config, tuple(t.hidden_size for t in towers))
+
+    def _abstract_init():
+        b = 1
+        ids = jnp.zeros((b, config.tokenizer_model_max_length), jnp.int32)
+        mask = jnp.ones_like(ids, dtype=bool)
+        pos = jnp.zeros_like(ids)
+        feats = [jnp.zeros((b, t.interp_size, t.hidden_size), jnp.float32)
+                 for t in towers]
+        aux = [jnp.ones((b, config.image_token_len, w * w), dtype=bool)
+               for w in config.cross_att_window_sizes()]
+        return model.init(jax.random.PRNGKey(0), ids, mask, pos, feats, aux)
+
+    shapes = jax.eval_shape(_abstract_init)
+    sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    target = jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sharding),
+        shapes,
+    )
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        params=ocp.args.StandardRestore(target),
+    ))
+    params = restored["params"]
 
     params = jax.device_get(params)
     save_pretrained(params, config, output_dir)

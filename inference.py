@@ -59,7 +59,15 @@ def main():
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--max_new_tokens", type=int, default=512)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--device", type=str, default=None,
+                        help="force a JAX platform (e.g. cpu); note the "
+                        "JAX_PLATFORMS env var is overridden by TPU plugins")
     args = parser.parse_args()
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     np.random.seed(args.seed)
 

@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 4.0
-BATCH = 4
+BATCH = 8
 ITERS = 5
 
 
@@ -112,7 +112,7 @@ def main():
 
     images_per_sec = BATCH / elapsed
     print(json.dumps({
-        "metric": "images/sec/chip 4-tower+SVA encode (bs=4, bf16, v5e-1)",
+        "metric": "images/sec/chip 4-tower+SVA encode (bs=8, bf16, v5e-1)",
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),

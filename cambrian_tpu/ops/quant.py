@@ -1,0 +1,109 @@
+"""Weight-only int8 quantization + fused Pallas dequant-matmul.
+
+The reference loads 4/8-bit weights through bitsandbytes CUDA kernels
+(model/builder.py:35-44, train_fsdp.py:1455-1471); the TPU-native equivalent
+(SURVEY.md §2.9) keeps weights in HBM as int8 with per-output-channel fp32
+scales and dequantizes inside the matmul kernel — halving weight HBM traffic,
+which is what decode-time GEMMs are bound by.
+
+Kernel: grid over (M blocks, N blocks); the int8 weight tile is DMA'd to
+VMEM, cast to bf16 in-register, matmul'd on the MXU with fp32 accumulation,
+and scaled by the per-column factors once at the end.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float -> (int8 values [K, N], fp32 scales [N]) symmetric
+    per-output-channel."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=0)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _q_matmul_kernel(x_ref, w_ref, scale_ref, o_ref):
+    x = x_ref[0]                        # [bm, K]
+    w = w_ref[0].astype(x.dtype)        # [K, bn] int8 -> compute dtype
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc * scale_ref[0]).astype(o_ref.dtype)
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
+                block_m: int = 256, block_n: int = 512) -> jnp.ndarray:
+    """x [M, K] (bf16/f32) @ dequant(w_q [K, N], scale [N]) -> [M, N] x.dtype.
+
+    Falls back to XLA dequant+matmul off TPU.
+    """
+    m, k = x.shape
+    _, n = w_q.shape
+    if jax.devices()[0].platform != "tpu":
+        return (x @ dequantize_int8(w_q, scale, x.dtype)).astype(x.dtype)
+
+    m_pad = _round_up(m, block_m)
+    n_pad = _round_up(n, block_n)
+    k_pad = _round_up(k, 128)
+    xp = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))[None]
+    wp = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))[None]
+    sp = jnp.pad(scale.astype(jnp.float32), (0, n_pad - n))[None, None]
+
+    grid = (m_pad // block_m, n_pad // block_n)
+    out = pl.pallas_call(
+        _q_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_m, k_pad), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad, block_n), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_m, block_n), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad, n_pad), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=xp.size * xp.dtype.itemsize + wp.size + n_pad * 4,
+            transcendentals=0,
+        ),
+    )(xp, wp, sp)
+    return out[0, :m, :n]
+
+
+def quantize_params(params, targets=("q_proj", "k_proj", "v_proj", "o_proj",
+                                     "gate_proj", "up_proj", "down_proj",
+                                     "lm_head")):
+    """Quantize targeted 2-D kernels in a params tree -> (tree with int8
+    kernels, {path: scales}). For load_8bit-style memory-bound serving."""
+    scales = {}
+
+    def maybe_quant(path, leaf):
+        ps = "/".join(getattr(k, "key", str(k)) for k in path)
+        if leaf.ndim == 2 and ps.endswith("kernel") and any(t in ps for t in targets):
+            q, s = quantize_int8(leaf)
+            scales[ps] = s
+            return q
+        return leaf
+
+    qtree = jax.tree_util.tree_map_with_path(maybe_quant, params)
+    return qtree, scales

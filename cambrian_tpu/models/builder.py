@@ -207,6 +207,43 @@ class CambrianForInference:
         return pids, pmask, ppos, feats, aux_masks, cfg
 
 
+def initialize_vision_tokenizer(params, tokenizer, config: CambrianConfig,
+                                mm_use_im_start_end: bool = False,
+                                mm_use_im_patch_token: bool = False):
+    """Add image special tokens and mean-init the new embedding rows
+    (reference cambrian_arch.py:611-653). Returns (params, config) with the
+    resized vocab; the tokenizer is mutated in place."""
+    from ..constants import (
+        DEFAULT_IM_END_TOKEN,
+        DEFAULT_IM_START_TOKEN,
+        DEFAULT_IMAGE_PATCH_TOKEN,
+    )
+
+    new_tokens = []
+    if mm_use_im_patch_token:
+        new_tokens.append(DEFAULT_IMAGE_PATCH_TOKEN)
+    if mm_use_im_start_end:
+        new_tokens.extend([DEFAULT_IM_START_TOKEN, DEFAULT_IM_END_TOKEN])
+    if not new_tokens:
+        return params, config
+    num_new = tokenizer.add_tokens(new_tokens, special_tokens=True)
+    if num_new == 0:
+        return params, config
+
+    tree = params["params"] if "params" in params else params
+    embed = tree["embed_tokens"]["embedding"]
+    mean_row = jnp.mean(embed, axis=0, keepdims=True)
+    tree["embed_tokens"]["embedding"] = jnp.concatenate(
+        [embed, jnp.tile(mean_row, (num_new, 1))], axis=0)
+    if "lm_head" in tree:
+        head = tree["lm_head"]["kernel"]  # [H, V]
+        mean_col = jnp.mean(head, axis=1, keepdims=True)
+        tree["lm_head"]["kernel"] = jnp.concatenate(
+            [head, jnp.tile(mean_col, (1, num_new))], axis=1)
+    config = config.replace(vocab_size=config.vocab_size + num_new)
+    return params, config
+
+
 def load_pretrained_model(
     model_path: str,
     model_base: Optional[str] = None,

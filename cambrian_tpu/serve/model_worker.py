@@ -35,7 +35,8 @@ class ModelWorker:
                  model_path: str, model_base: Optional[str], model_name: Optional[str],
                  load_8bit=False, load_4bit=False, device="tpu",
                  limit_model_concurrency: int = 5, register: bool = True,
-                 model_bundle=None):
+                 model_bundle=None, continuous_batching: bool = False,
+                 num_slots: int = 4):
         from ..models.builder import load_pretrained_model
 
         self.controller_addr = controller_addr
@@ -58,10 +59,31 @@ class ModelWorker:
             )
         self.is_multimodal = "cambrian" in self.model_name.lower() or True
 
+        # continuous batching: concurrent requests share one KV cache and
+        # advance in lockstep (SURVEY.md §7 hard-part 6); a single stepper
+        # thread drives the engine while request threads stream tokens out
+        self.cb_engine = None
+        if continuous_batching:
+            from ..infer.continuous import ContinuousBatchingEngine
+
+            self.cb_engine = ContinuousBatchingEngine(
+                self.model.lm, self.model.params, num_slots=num_slots,
+                max_len=self.context_len + 1024,
+            )
+            self._cb_wake = threading.Event()
+            threading.Thread(target=self._cb_stepper, daemon=True).start()
+
         if register:
             self.register_to_controller()
             self._hb = threading.Thread(target=self._heart_beat_worker, daemon=True)
             self._hb.start()
+
+    def _cb_stepper(self):
+        while True:
+            active = self.cb_engine.step()
+            if active == 0 and self.cb_engine._pending.empty():
+                self._cb_wake.wait(timeout=0.05)
+                self._cb_wake.clear()
 
     # -- controller plumbing -------------------------------------------------
 
@@ -143,6 +165,12 @@ class ModelWorker:
             }).encode() + b"\0"
             return
 
+        if self.cb_engine is not None:
+            yield from self._generate_stream_cb(
+                ori_prompt, input_ids, image_tensor, image_sizes,
+                do_sample, temperature, top_p, max_new_tokens, stop_str)
+            return
+
         generated_text = ori_prompt
         for out_ids in model.generate_stream(
             input_ids, images=image_tensor, image_sizes=image_sizes,
@@ -159,6 +187,50 @@ class ModelWorker:
             generated_text = ori_prompt + text
             yield json.dumps({"text": generated_text, "error_code": 0}
                              ).encode() + b"\0"
+
+    def _generate_stream_cb(self, ori_prompt, input_ids, image_tensor,
+                            image_sizes, do_sample, temperature, top_p,
+                            max_new_tokens, stop_str):
+        """Continuous-batching path: submit into the shared engine and stream
+        tokens as its stepper thread produces them."""
+        import queue as _q
+
+        from ..infer.engine import GenerationConfig
+
+        pids, pmask, ppos, feats, aux_masks, _ = self.model._prepare_generate(
+            input_ids, images=image_tensor, image_sizes=image_sizes,
+            max_new_tokens=max_new_tokens,
+        )
+        cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            temperature=temperature if do_sample else 0.0,
+            top_p=top_p,
+            eos_token_id=getattr(self.tokenizer, "eos_token_id", None),
+        )
+        token_queue: "_q.Queue" = _q.Queue()
+        req = self.cb_engine.submit(pids[0], pmask[0], ppos[0], feats,
+                                    aux_masks, cfg,
+                                    on_token=token_queue.put)
+        self._cb_wake.set()
+
+        tokens = []
+        while True:
+            try:
+                tokens.append(token_queue.get(timeout=120))
+            except _q.Empty:
+                yield json.dumps({"text": server_error_msg, "error_code": 1}
+                                 ).encode() + b"\0"
+                return
+            text = self.tokenizer.decode(tokens, skip_special_tokens=True)
+            if stop_str and stop_str in text:
+                text = text[: text.index(stop_str)]
+                yield json.dumps({"text": ori_prompt + text, "error_code": 0}
+                                 ).encode() + b"\0"
+                return
+            yield json.dumps({"text": ori_prompt + text, "error_code": 0}
+                             ).encode() + b"\0"
+            if req.finished and token_queue.empty():
+                return
 
     def generate_stream_gate(self, params):
         try:
@@ -235,6 +307,10 @@ def main():
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--continuous-batching", action="store_true",
+                        help="serve concurrent requests through one shared "
+                        "KV cache (slot-based continuous batching)")
+    parser.add_argument("--num-slots", type=int, default=4)
     args = parser.parse_args()
 
     logger = build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
@@ -243,6 +319,7 @@ def main():
         args.model_path, args.model_base, args.model_name,
         device=args.device, limit_model_concurrency=args.limit_model_concurrency,
         register=not args.no_register,
+        continuous_batching=args.continuous_batching, num_slots=args.num_slots,
     )
     logger.info("worker listening on %s:%d", args.host, args.port)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))

@@ -65,6 +65,9 @@ class TrainingArguments(TrainConfig):
     # resume
     train_continue: bool = False
     resume_from_checkpoint: Optional[str] = None
+    # logging backends ("none" or "wandb"; wandb is optional in this image)
+    report_to: str = "none"
+    run_name: Optional[str] = None
     # gcs sync (reference GCloudRsyncCallback)
     gcs_output_dir: Optional[str] = None
 
@@ -178,6 +181,24 @@ class CambrianTrainer:
                               step=jnp.asarray(step, jnp.int32))
         logger.info("resumed from checkpoint step %d", step)
         return state, restored["rng"], step
+
+    def _wandb_log(self, entry):
+        """Optional wandb metrics (the reference logs via HF Trainer +
+        wandb, cambrian_trainer.py:641-666); gated on the import."""
+        if self.args.report_to != "wandb":
+            return
+        try:
+            import wandb
+
+            if wandb.run is None:
+                wandb.init(project="cambrian-tpu", name=self.args.run_name,
+                           resume="allow")
+            wandb.log(dict(entry), step=entry["step"])
+        except ImportError:
+            logger.warning("report_to=wandb but wandb is not installed")
+            self.args.report_to = "none"
+        except Exception as e:
+            logger.warning("wandb logging failed: %s", e)
 
     def _gcs_sync(self):
         """Best-effort output-dir sync to GCS (GCloudRsyncCallback parity)."""
@@ -295,6 +316,7 @@ class CambrianTrainer:
                                  "samples_per_sec": round(sps * self.global_batch_size, 2)}
                         history.append(entry)
                         logger.info("train %s", json.dumps(entry))
+                        self._wandb_log(entry)
 
                     if (step + 1) % args.save_steps == 0:
                         self._save_checkpoint(state, rng_key, step + 1)

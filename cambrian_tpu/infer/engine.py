@@ -159,6 +159,10 @@ class GenerationEngine:
             if write_index >= k_len:
                 break
             cache_valid = cache_valid.at[:, write_index].set(True)
+            window = self.model.cfg.sliding_window
+            if window is not None and write_index - window >= 0:
+                # sliding-window models: retire cache slots beyond the window
+                cache_valid = cache_valid.at[:, : write_index - window + 1].set(False)
             next_logits, cache = self._step(
                 self.params, token[:, None], (next_pos + t)[:, None],
                 cache, cache_valid, jnp.int32(write_index),

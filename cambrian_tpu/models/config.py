@@ -160,6 +160,22 @@ YI_34B = dict(
     max_position_embeddings=4096, bos_token_id=1, eos_token_id=2,
 )
 
+GEMMA_7B = dict(
+    model_type="gemma", vocab_size=256000, hidden_size=3072,
+    intermediate_size=24576, num_hidden_layers=28, num_attention_heads=16,
+    num_key_value_heads=16, head_dim=256, rope_theta=10000.0,
+    rms_norm_eps=1e-6, max_position_embeddings=8192, tie_word_embeddings=True,
+    hidden_act="gelu_pytorch_tanh", bos_token_id=2, eos_token_id=1,
+)
+
+COMMAND_R_35B = dict(
+    model_type="cohere", vocab_size=256000, hidden_size=8192,
+    intermediate_size=22528, num_hidden_layers=40, num_attention_heads=64,
+    num_key_value_heads=64, rope_theta=8000000.0, rms_norm_eps=1e-5,
+    max_position_embeddings=8192, tie_word_embeddings=True,
+    logit_scale=0.0625, bos_token_id=5, eos_token_id=255001,
+)
+
 PHI3_MINI = dict(
     model_type="phi3", vocab_size=32064, hidden_size=3072,
     intermediate_size=8192, num_hidden_layers=32, num_attention_heads=32,

@@ -27,7 +27,9 @@ from .. import conversation as conversation_lib
 from ..models.cambrian import CambrianLM
 from ..models.config import (
     CAMBRIAN_SVA,
+    COMMAND_R_35B,
     CambrianConfig,
+    GEMMA_7B,
     LLAMA3_8B,
     PHI3_MINI,
     VICUNA_13B,
@@ -87,7 +89,8 @@ class DataArguments:
 _STOCK = {
     "llama3-8b": LLAMA3_8B, "llama-3-8b": LLAMA3_8B,
     "vicuna-13b": VICUNA_13B, "yi-34b": YI_34B, "phi3": PHI3_MINI,
-    "phi-3": PHI3_MINI, "tiny-debug": None,
+    "phi-3": PHI3_MINI, "gemma-7b": GEMMA_7B, "gemma": GEMMA_7B,
+    "command-r": COMMAND_R_35B, "c4ai": COMMAND_R_35B, "tiny-debug": None,
 }
 
 
@@ -184,6 +187,72 @@ def train(model_args: ModelArguments, data_args: DataArguments,
                     "kernel": jnp.asarray(sd["lm_head.weight"].T)}
     else:
         params = _init_params(model, towers, config)
+
+    # stage-2 from a stage-1 connector dump (train_fsdp pretrain_mm_mlp_adapter)
+    if model_args.pretrain_mm_mlp_adapter:
+        from ..checkpoint.hf_llm import convert_cambrian
+        from ..models.builder import _load_state_dict
+
+        adapter_sd = _load_state_dict(model_args.pretrain_mm_mlp_adapter) \
+            if os.path.isdir(model_args.pretrain_mm_mlp_adapter) else None
+        if adapter_sd is None:
+            import torch
+
+            adapter_sd = {
+                k: v.float().numpy()
+                for k, v in torch.load(model_args.pretrain_mm_mlp_adapter,
+                                       map_location="cpu",
+                                       weights_only=True).items()
+            }
+        connector_keys = ("mm_projector", "vision_sampler", "vision_query",
+                          "image_newline")
+        converted = convert_cambrian(
+            {**adapter_sd}, config
+        ) if any(k.startswith("model.layers") for k in adapter_sd) else None
+        if converted is None:
+            # connector-only dump: convert just the matching subtrees
+            full = {k: v for k, v in adapter_sd.items()}
+            from ..checkpoint import hf_llm
+
+            tmp = {}
+            num_towers = len(towers)
+            if "model.mm_projector.0.weight" in full:
+                tmp["mm_projector"] = {
+                    "fc1": {"kernel": full["model.mm_projector.0.weight"].T,
+                            "bias": full["model.mm_projector.0.bias"]},
+                    "fc2": {"kernel": full["model.mm_projector.2.weight"].T,
+                            "bias": full["model.mm_projector.2.bias"]},
+                }
+            for i in range(num_towers):
+                pfx = f"model.mm_projector_aux_{i}."
+                if pfx + "0.weight" in full:
+                    tmp[f"mm_projector_aux_{i}"] = {
+                        "fc1": {"kernel": full[pfx + "0.weight"].T,
+                                "bias": full[pfx + "0.bias"]},
+                        "fc2": {"kernel": full[pfx + "2.weight"].T,
+                                "bias": full[pfx + "2.bias"]},
+                        "ln": {"scale": full[pfx + "3.weight"],
+                               "bias": full[pfx + "3.bias"]},
+                    }
+            for g in range(config.num_query_group):
+                if f"model.vision_sampler_{g}.layers.0.proj_in.weight" in full:
+                    tmp[f"vision_sampler_{g}"] = hf_llm._convert_sampler(
+                        full, f"model.vision_sampler_{g}.", config.connector_depth,
+                        num_towers)
+            if not config.connector_only:
+                for k in range(config.num_of_vision_sampler_layers):
+                    key = f"model.vision_sampler_layers.{k}.layers.0.proj_in.weight"
+                    if key in full:
+                        tmp[f"vision_sampler_layers_{k}"] = hf_llm._convert_sampler(
+                            full, f"model.vision_sampler_layers.{k}.", 1, num_towers)
+            if "model.vision_query" in full:
+                tmp["vision_query"] = full["model.vision_query"]
+            if "model.image_newline" in full:
+                tmp["image_newline"] = full["model.image_newline"]
+            converted = tmp
+        params["params"].update(jax.tree.map(jnp.asarray, converted))
+        logger.info("loaded pretrain_mm_mlp_adapter: %s",
+                    sorted(converted.keys()))
 
     trainer = CambrianTrainer(
         model=model, towers=towers, args=training_args,

@@ -64,6 +64,7 @@ class GenerationEngine:
         self._prefill = jax.jit(self._prefill_impl)
         self._step = jax.jit(self._step_impl)
         self._encode = jax.jit(self._encode_impl)
+        self._on_device_fns = {}
 
     # -- jitted impls -------------------------------------------------------
 
@@ -84,6 +85,54 @@ class GenerationEngine:
             method=CambrianLM.decode_step,
         )
 
+    def _generate_on_device_impl(self, params, input_ids, attention_mask,
+                                 position_ids, cache, aux_features, aux_masks,
+                                 rng, *, max_new_tokens, temperature, top_p,
+                                 eos_token_id, pad_token_id):
+        """Whole generation (prefill + decode loop) as ONE compiled program.
+
+        Removes the per-step host round trip (30 ms on tunneled chips —
+        docs/PERF_NOTES.md lever 4); used by generate() when no Python-side
+        stopping criteria is installed. Greedy/sampling, per-sample eos.
+        """
+        b, s = input_ids.shape
+        k_len = cache[0][0].shape[1]
+        logits, cache = self.model.apply(
+            params, input_ids, attention_mask, position_ids, cache,
+            aux_features, aux_masks, method=CambrianLM.prefill,
+        )
+        last_idx = jnp.max(
+            jnp.where(attention_mask, jnp.arange(s)[None, :], 0), axis=1
+        )
+        next_logits = jnp.take_along_axis(
+            logits, last_idx[:, None, None], axis=1)[:, 0]
+        next_pos = jnp.max(position_ids, axis=1) + 1
+        cache_valid = jnp.zeros((b, k_len), dtype=bool)
+        cache_valid = cache_valid.at[:, :s].set(attention_mask.astype(bool))
+
+        tokens0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
+        finished0 = jnp.zeros((b,), bool)
+
+        def body(t, carry):
+            tokens, next_logits, cache, cache_valid, finished, rng = carry
+            rng, sub = jax.random.split(rng)
+            token = sample_token(next_logits, sub, temperature, top_p).astype(
+                jnp.int32)
+            if eos_token_id is not None:
+                finished = finished | (token == eos_token_id)
+            tokens = tokens.at[:, t].set(jnp.where(finished, pad_token_id, token))
+            write_index = s + t
+            cache_valid = cache_valid.at[:, write_index].set(~finished)
+            next_logits, cache = self.model.apply(
+                params, token[:, None], (next_pos + t)[:, None], cache,
+                cache_valid, write_index, method=CambrianLM.decode_step,
+            )
+            return tokens, next_logits, cache, cache_valid, finished, rng
+
+        carry = (tokens0, next_logits, cache, cache_valid, finished0, rng)
+        tokens, *_ = jax.lax.fori_loop(0, max_new_tokens, body, carry)
+        return tokens
+
     # -- public API ---------------------------------------------------------
 
     def encode_images(self, tower_params, images):
@@ -98,8 +147,44 @@ class GenerationEngine:
         aux_masks: Optional[Sequence] = None,
         config: Optional[GenerationConfig] = None,
         stopping: Optional[Callable[[np.ndarray], bool]] = None,
+        on_device: bool = True,
     ) -> np.ndarray:
-        """Returns generated token ids [B, <=max_new_tokens] (prompt excluded)."""
+        """Returns generated token ids [B, <=max_new_tokens] (prompt excluded).
+
+        With no Python-side stopping criteria the whole generation runs as one
+        compiled program (prefill + lax.fori_loop decode)."""
+        cfg = config or GenerationConfig()
+        if on_device and stopping is None:
+            b, s = input_ids.shape
+            k_len = min(self.max_len, s + cfg.max_new_tokens)
+            cache = init_kv_cache(self.model.cfg, b, k_len, self.cache_dtype)
+            key = (cfg.max_new_tokens, cfg.temperature, cfg.top_p,
+                   cfg.eos_token_id, cfg.pad_token_id)
+            if key not in self._on_device_fns:
+                import functools
+
+                self._on_device_fns[key] = jax.jit(functools.partial(
+                    self._generate_on_device_impl,
+                    max_new_tokens=cfg.max_new_tokens,
+                    temperature=cfg.temperature, top_p=cfg.top_p,
+                    eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
+                ))
+            tokens = self._on_device_fns[key](
+                self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
+                jnp.asarray(position_ids), cache, aux_features, aux_masks,
+                jax.random.PRNGKey(cfg.seed),
+            )
+            tokens = np.asarray(tokens)
+            # trim trailing all-pad columns (parity with the host loop's early
+            # exit once every sample has finished)
+            keep = tokens.shape[1]
+            pad = cfg.pad_token_id
+            nonpad = (tokens != pad).any(axis=0)
+            if not nonpad.all():
+                last = int(np.max(np.nonzero(nonpad)[0])) + 1 if nonpad.any() else 1
+                tokens = tokens[:, :last]
+            return tokens
+
         out = None
         for out in self.generate_stream(input_ids, attention_mask, position_ids,
                                         aux_features, aux_masks, config, stopping):

@@ -84,3 +84,14 @@ def test_streaming_callback(bundle):
     req = cb.submit(ids, mask, pos, config=cfg, on_token=seen.append)
     cb.run_until_complete([req])
     assert seen == req.tokens and len(seen) == 4
+
+
+def test_on_device_generation_matches_host_loop(bundle):
+    tokenizer, model = bundle
+    cfg = GenerationConfig(max_new_tokens=6, temperature=0.0)
+    seq = GenerationEngine(model.lm, model.params, model.towers,
+                           max_len=256, cache_dtype=jnp.float32)
+    ids, mask, pos = _mk_prompt(tokenizer, "hello world what is in")
+    host = seq.generate(ids, mask, pos, None, None, cfg, on_device=False)
+    dev = seq.generate(ids, mask, pos, None, None, cfg, on_device=True)
+    np.testing.assert_array_equal(host, dev)

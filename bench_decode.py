@@ -1,0 +1,115 @@
+"""Decode benchmark: TTFT + tokens/sec for a multimodal prompt
+(BASELINE.json's second headline: "p50 TTFT + tokens/sec at 8B decode").
+
+The single v5e chip here has 16 GB HBM; LLaMA-3-8B bf16 params (16 GB) don't
+leave room for cache + activations on one chip, so the on-chip decode config
+is Phi-3-mini (3.8B, BASELINE config #1) with the production 576+24 image
+block in the prompt. Multi-chip 8B/34B decode runs under the same engine via
+the (data, fsdp, model) mesh.
+
+Prints one JSON line per batch size. Not wired into the driver's bench.py
+(which reports the encode headline).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cambrian_tpu.constants import IMAGE_TOKEN_INDEX
+    from cambrian_tpu.data.packing import prepare_multimodal_data
+    from cambrian_tpu.infer.engine import GenerationConfig, GenerationEngine
+    from cambrian_tpu.models.cambrian import CambrianLM
+    from cambrian_tpu.models.config import CAMBRIAN_SVA, CambrianConfig, PHI3_MINI
+
+    dtype = jnp.bfloat16
+    cfg = CambrianConfig(**{**PHI3_MINI, **CAMBRIAN_SVA, "image_position": 35,
+                            "tokenizer_model_max_length": 2048})
+    hidden_sizes = (1152, 1024, 1536, 5760)
+    model = CambrianLM(cfg, hidden_sizes, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+
+    def random_like(shapes, seed):
+        leaves, treedef = jax.tree.flatten(shapes)
+        key = jax.random.PRNGKey(seed)
+        return jax.tree.unflatten(treedef, [
+            0.02 * jax.random.normal(jax.random.fold_in(key, i), s.shape, dtype)
+            for i, s in enumerate(leaves)
+        ])
+
+    MAX_NEW = 128
+    for batch in (1, 8):
+        # packed multimodal prompt: ~60 text tokens + 600 image slots
+        seq = 700
+        ids = rng.integers(5, cfg.vocab_size, (batch, 64)).astype(np.int64)
+        ids[:, cfg.image_position] = IMAGE_TOKEN_INDEX
+        mask = np.ones((batch, 64), dtype=bool)
+        pids, _, pmask, ppos, aux_masks = prepare_multimodal_data(
+            ids, ids.copy(), mask, [(512, 512)] * batch, cfg.image_token_len,
+            cfg.mm_vision_tower_aux_token_len_list, seq,
+        )
+        feats = [
+            jnp.asarray(rng.standard_normal((batch, t, h)).astype(np.float32),
+                        dtype)
+            for t, h in zip(cfg.mm_vision_tower_aux_token_len_list, hidden_sizes)
+        ]
+        aux = [jnp.asarray(m) for m in aux_masks]
+
+        if batch == 1:
+            param_shapes = jax.eval_shape(
+                lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(pids),
+                                   jnp.asarray(pmask), jnp.asarray(ppos),
+                                   feats, aux))
+            params = random_like(param_shapes, 7)
+
+        engine = GenerationEngine(model, params, max_len=seq + MAX_NEW + 8,
+                                  cache_dtype=dtype)
+        gcfg = GenerationConfig(max_new_tokens=MAX_NEW, temperature=0.0,
+                                eos_token_id=None)
+
+        # TTFT: prefill + first token (host path, one step)
+        from cambrian_tpu.models.language.llama import init_kv_cache
+
+        cache = init_kv_cache(cfg, batch, seq + MAX_NEW + 8, dtype)
+        logits, cache2 = engine._prefill(params, jnp.asarray(pids),
+                                         jnp.asarray(pmask), jnp.asarray(ppos),
+                                         cache, feats, aux)
+        np.asarray(logits[:, -1])  # warm + flush
+        ts = []
+        for _ in range(3):
+            cache = init_kv_cache(cfg, batch, seq + MAX_NEW + 8, dtype)
+            t0 = time.perf_counter()
+            logits, _ = engine._prefill(params, jnp.asarray(pids),
+                                        jnp.asarray(pmask), jnp.asarray(ppos),
+                                        cache, feats, aux)
+            logits.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        ttft_ms = float(np.median(ts)) * 1000
+
+        # steady-state decode: on-device loop, whole generation
+        out = engine.generate(pids, pmask, ppos, feats, aux, gcfg)
+        np.asarray(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = engine.generate(pids, pmask, ppos, feats, aux, gcfg)
+            ts.append(time.perf_counter() - t0)
+        total = float(np.median(ts))
+        decode_tps = batch * MAX_NEW / max(total - ttft_ms / 1000, 1e-9)
+
+        print(json.dumps({
+            "metric": f"phi3-3.8B multimodal decode (bs={batch}, 664-tok prompt)",
+            "ttft_ms": round(ttft_ms, 1),
+            "tokens_per_sec": round(decode_tps, 1),
+            "total_s_for_128_new": round(total, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

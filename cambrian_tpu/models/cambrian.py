@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..constants import IGNORE_INDEX
+from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from ..ops.resize import resize_bilinear
 from .config import CambrianConfig
 from .language.llama import (
@@ -224,14 +224,20 @@ class CambrianLM(nn.Module):
         return image_embeds, vision_kv, list(aux_masks_list), global_ctx_final
 
     def _inject_sva(self, k: int, hidden: jnp.ndarray, vision_kv, vision_masks,
-                    global_context) -> jnp.ndarray:
+                    global_context, im_start: jnp.ndarray) -> jnp.ndarray:
         """In-decoder SVA step k (cambrian_llama.py:177-207): slice the latent
-        window, strip the newline column, cross-attend, write back."""
+        window at each sample's image-block start, strip the newline column,
+        cross-attend, write back. The reference assumes the block sits at the
+        static config.image_position; ours follows the per-sample marker so
+        arbitrary prompt prefixes work at inference."""
         c = self.cfg
         b = hidden.shape[0]
         side = c.image_token_len_per_side
-        pos = c.image_position
-        block = jax.lax.dynamic_slice_in_dim(hidden, pos, c.image_block_len, axis=1)
+
+        block = jax.vmap(
+            lambda h, st: jax.lax.dynamic_slice(
+                h, (st, 0), (c.image_block_len, c.hidden_size))
+        )(hidden, im_start)
         block = block.reshape(b, side, side + 1, c.hidden_size)
         latent, newline = block[:, :, :side], block[:, :, side:]
         latent = latent.reshape(b, c.image_token_len, c.hidden_size)
@@ -241,14 +247,17 @@ class CambrianLM(nn.Module):
         latent = latent.reshape(b, side, side, c.hidden_size)
         block = jnp.concatenate([latent, newline], axis=2)
         block = block.reshape(b, c.image_block_len, c.hidden_size)
-        return jax.lax.dynamic_update_slice_in_dim(hidden, block, pos, axis=1)
+        return jax.vmap(
+            lambda h, blk, st: jax.lax.dynamic_update_slice(h, blk, (st, 0))
+        )(hidden, block, im_start)
 
     # ------------------------------------------------------------------
     # decoder forward paths
     # ------------------------------------------------------------------
 
     def _decoder(self, hidden, mask, position_ids, cache, cache_index,
-                 vision_kv, vision_masks, global_context, inject: bool):
+                 vision_kv, vision_masks, global_context, inject: bool,
+                 im_start=None):
         c = self.cfg
         inject_layers = set(c.vision_sampler_layer_indices) if inject else set()
         new_cache = [] if cache is not None else None
@@ -260,7 +269,7 @@ class CambrianLM(nn.Module):
             if i in inject_layers:
                 k = (i - c.start_of_vision_sampler_layers) // c.stride_of_vision_sampler_layers
                 hidden = self._inject_sva(k, hidden, vision_kv, vision_masks,
-                                          global_context)
+                                          global_context, im_start)
         hidden = self.norm(hidden)
         return hidden, (tuple(new_cache) if new_cache is not None else None)
 
@@ -274,16 +283,25 @@ class CambrianLM(nn.Module):
             logits = logits * self.cfg.logit_scale
         return logits
 
-    def _splice_image(self, input_ids, image_embeds):
-        """Embed text tokens and overwrite the image block slots
-        (cambrian_arch.py:457-490, static-position variant)."""
+    def _image_start(self, input_ids) -> jnp.ndarray:
+        """Per-sample index of the image indicator token [B] (the packed
+        block starts there; data/packing.py keeps the indicator in the ids).
+        Falls back to cfg.image_position when a sample has no marker."""
+        has = jnp.any(input_ids == IMAGE_TOKEN_INDEX, axis=1)
+        idx = jnp.argmax(input_ids == IMAGE_TOKEN_INDEX, axis=1).astype(jnp.int32)
+        return jnp.where(has, idx, jnp.int32(self.cfg.image_position))
+
+    def _splice_image(self, input_ids, image_embeds, im_start=None):
+        """Embed text tokens and overwrite the image block slots at each
+        sample's marker (cambrian_arch.py:457-490; the reference's XLA branch
+        also splices at the per-sample indicator)."""
         ids = jnp.where(input_ids < 0, 0, input_ids)
         embeds = self.embed_tokens(ids)
         if image_embeds is not None:
-            embeds = jax.lax.dynamic_update_slice_in_dim(
-                embeds, image_embeds.astype(embeds.dtype),
-                self.cfg.image_position, axis=1,
-            )
+            img = image_embeds.astype(embeds.dtype)
+            embeds = jax.vmap(
+                lambda e, im, st: jax.lax.dynamic_update_slice(e, im, (st, 0))
+            )(embeds, img, im_start)
         if self.cfg.model_type.startswith("gemma"):
             # gemma scales post-splice (HF applies the normalizer to whatever
             # inputs_embeds it is given, incl. the spliced multimodal embeds)
@@ -305,11 +323,12 @@ class CambrianLM(nn.Module):
         image_embeds, vision_kv, vision_masks, global_ctx = (
             vision if vision is not None else (None, None, None, None)
         )
-        hidden = self._splice_image(input_ids, image_embeds)
+        im_start = self._image_start(input_ids)
+        hidden = self._splice_image(input_ids, image_embeds, im_start)
         mask = make_causal_mask(attention_mask)
         hidden, _ = self._decoder(hidden, mask, position_ids, None, None,
                                   vision_kv, vision_masks, global_ctx,
-                                  inject=vision is not None)
+                                  inject=vision is not None, im_start=im_start)
         return self._logits(hidden)
 
     def prefill(
@@ -331,7 +350,8 @@ class CambrianLM(nn.Module):
         image_embeds, vision_kv, vision_masks, global_ctx = (
             vision if vision is not None else (None, None, None, None)
         )
-        hidden = self._splice_image(input_ids, image_embeds)
+        im_start = self._image_start(input_ids)
+        hidden = self._splice_image(input_ids, image_embeds, im_start)
         s = input_ids.shape[1]
         k_len = cache[0][0].shape[1]
         # queries attend causally within the prompt; cache slots beyond the
@@ -340,7 +360,8 @@ class CambrianLM(nn.Module):
         mask = make_causal_mask(jnp.concatenate([attention_mask, pad], axis=-1))
         hidden, cache = self._decoder(hidden, mask, position_ids, cache,
                                       jnp.int32(0), vision_kv, vision_masks,
-                                      global_ctx, inject=vision is not None)
+                                      global_ctx, inject=vision is not None,
+                                      im_start=im_start)
         return self._logits(hidden), cache
 
     def decode_step(

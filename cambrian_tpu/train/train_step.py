@@ -51,22 +51,33 @@ def make_train_step(
     images (list, per tower, NCHW), aux_masks (list, per tower).
     """
 
-    def encode_towers(tower_params, images):
+    def encode_towers(tower_params, images, differentiable):
         feats = []
         for tower, tp, px in zip(towers, tower_params, images):
             f = tower.apply(tp, px)
-            if not train_towers:
+            if not differentiable:
                 f = jax.lax.stop_gradient(f)
             feats.append(f)
         return feats
 
     def step(state: TrainState, tower_params, batch):
-        def loss_fn(params):
+        # unfreeze_mm_vision_tower: tower params live INSIDE state.params
+        # (under "vision_towers") so they are differentiated and optimized
+        # by the vision_tower LR group; otherwise they are a frozen argument
+        # whose forward runs under stop_gradient.
+        combined = isinstance(state.params, dict) and "vision_towers" in state.params
+
+        def loss_fn(p):
+            if combined:
+                model_params, tps = p["model"], p["vision_towers"]
+            else:
+                model_params, tps = p, tower_params
             aux_features = None
             if towers is not None and batch.get("images") is not None:
-                aux_features = encode_towers(tower_params, batch["images"])
+                aux_features = encode_towers(tps, batch["images"],
+                                             differentiable=combined)
             logits = model.apply(
-                params,
+                model_params,
                 batch["input_ids"],
                 batch["attention_mask"],
                 batch["position_ids"],

@@ -218,6 +218,8 @@ class CambrianTrainer:
 
         output_dir = output_dir or self.args.output_dir
         params = state.params if state is not None else self.init_params
+        if isinstance(params, dict) and "vision_towers" in params:
+            params = params["model"]
         params = jax.device_get(params)
         save_pretrained(params, self.model.cfg, output_dir)
 
@@ -248,7 +250,15 @@ class CambrianTrainer:
                        else int(steps_per_epoch * args.num_train_epochs))
         args.total_steps = total_steps * args.gradient_accumulation_steps
 
-        state = init_train_state(self.init_params, args)
+        init_params = self.init_params
+        tower_arg = self.tower_params
+        if args.unfreeze_mm_vision_tower:
+            # towers join the trainable tree (vision_tower LR group); the
+            # per-step tower argument becomes vestigial
+            init_params = {"model": self.init_params,
+                           "vision_towers": self.tower_params}
+            tower_arg = []
+        state = init_train_state(init_params, args)
         if args.gradient_accumulation_steps > 1:
             import optax
 
@@ -259,7 +269,7 @@ class CambrianTrainer:
         step_fn = make_train_step(self.model, self.towers,
                                   train_towers=args.unfreeze_mm_vision_tower)
         state_sh = state_shardings(state, self.mesh)
-        tower_sh = [infer_param_shardings(tp, self.mesh) for tp in self.tower_params]
+        tower_sh = [infer_param_shardings(tp, self.mesh) for tp in tower_arg]
         batch_sh = batch_shardings(self.mesh, num_towers=len(self.towers))
 
         rng_key = jax.random.PRNGKey(args.seed)
@@ -272,7 +282,7 @@ class CambrianTrainer:
                             out_shardings=(state_sh, None), donate_argnums=(0,))
             state = jax.device_put(state, state_sh)
             tower_params = [jax.device_put(tp, sh)
-                            for tp, sh in zip(self.tower_params, tower_sh)]
+                            for tp, sh in zip(tower_arg, tower_sh)]
 
             index_iter = self._index_stream(int(np.ceil(args.num_train_epochs)))
 

@@ -54,17 +54,46 @@ class GenerationEngine:
     """Batched multimodal generation over a fixed-size KV cache."""
 
     def __init__(self, model: CambrianLM, params, towers: Sequence = (),
-                 max_len: int = 4096, cache_dtype=jnp.bfloat16):
+                 max_len: int = 4096, cache_dtype=jnp.bfloat16, mesh=None):
+        """``mesh``: optional (data, fsdp, model) Mesh for sharded inference
+        (34B-class decoders on small slices — SURVEY.md §7 hard-part 7).
+        Params are sharded by the training rules (dim-0 FSDP + TP); the KV
+        cache shards batch over (data, fsdp) and kv heads over model."""
         self.model = model
-        self.params = params
         self.towers = list(towers)
         self.max_len = max_len
         self.cache_dtype = cache_dtype
+        self.mesh = mesh
+
+        if mesh is not None:
+            from ..parallel.sharding import infer_param_shardings
+
+            self._param_sh = infer_param_shardings(params, mesh)
+            self.params = jax.device_put(params, self._param_sh)
+        else:
+            self.params = params
 
         self._prefill = jax.jit(self._prefill_impl)
         self._step = jax.jit(self._step_impl)
         self._encode = jax.jit(self._encode_impl)
         self._on_device_fns = {}
+
+    def init_cache(self, batch: int, k_len: int):
+        cache = init_kv_cache(self.model.cfg, batch, k_len, self.cache_dtype)
+        if self.mesh is None:
+            return cache
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        kvh = self.model.cfg.num_key_value_heads
+        dp = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        spec = P(
+            ("data", "fsdp") if batch % dp == 0 and dp > 1 else None,
+            None,
+            "model" if kvh % self.mesh.shape["model"] == 0 else None,
+            None,
+        )
+        sh = NamedSharding(self.mesh, spec)
+        return jax.tree.map(lambda x: jax.device_put(x, sh), cache)
 
     # -- jitted impls -------------------------------------------------------
 
@@ -157,7 +186,7 @@ class GenerationEngine:
         if on_device and stopping is None:
             b, s = input_ids.shape
             k_len = min(self.max_len, s + cfg.max_new_tokens)
-            cache = init_kv_cache(self.model.cfg, b, k_len, self.cache_dtype)
+            cache = self.init_cache(b, k_len)
             key = (cfg.max_new_tokens, cfg.temperature, cfg.top_p,
                    cfg.eos_token_id, cfg.pad_token_id)
             if key not in self._on_device_fns:
@@ -208,7 +237,7 @@ class GenerationEngine:
         b, s = input_ids.shape
         k_len = min(self.max_len, s + cfg.max_new_tokens)
 
-        cache = init_kv_cache(self.model.cfg, b, k_len, self.cache_dtype)
+        cache = self.init_cache(b, k_len)
         logits, cache = self._prefill(
             self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
             jnp.asarray(position_ids), cache, aux_features, aux_masks,

@@ -95,3 +95,25 @@ def test_on_device_generation_matches_host_loop(bundle):
     host = seq.generate(ids, mask, pos, None, None, cfg, on_device=False)
     dev = seq.generate(ids, mask, pos, None, None, cfg, on_device=True)
     np.testing.assert_array_equal(host, dev)
+
+
+def test_sharded_inference_matches_unsharded(bundle):
+    """TP+FSDP inference: same greedy outputs on a (1,2,2) mesh."""
+    import jax
+
+    from cambrian_tpu.parallel.mesh import MeshConfig, create_mesh
+
+    tokenizer, model = bundle
+    mesh = create_mesh(MeshConfig(data=1, fsdp=2, model=2),
+                       devices=jax.devices()[:4])
+    cfg = GenerationConfig(max_new_tokens=5, temperature=0.0)
+    ids, mask, pos = _mk_prompt(tokenizer, "a cat sat on the mat")
+
+    plain = GenerationEngine(model.lm, model.params, max_len=128,
+                             cache_dtype=jnp.float32)
+    sharded = GenerationEngine(model.lm, model.params, max_len=128,
+                               cache_dtype=jnp.float32, mesh=mesh)
+    with jax.set_mesh(mesh):
+        out_sharded = sharded.generate(ids, mask, pos, None, None, cfg)
+    out_plain = plain.generate(ids, mask, pos, None, None, cfg)
+    np.testing.assert_array_equal(out_plain, out_sharded)

@@ -121,8 +121,31 @@ register_benchmark(Benchmark(
 
 # --- MCQ family ---------------------------------------------------------------
 
+def _scienceqa_prompt(record) -> dict:
+    """ScienceQA includes hint/context fields folded into the question
+    (reference eval/eval/scienceqa prompt format)."""
+    question = _get(record, "question")
+    hint = _get(record, "hint", default="")
+    context = f"Context: {hint}\n" if hint else ""
+    choices = _get(record, "choices", "options")
+    answer = _get(record, "answer")
+    if isinstance(answer, int):  # scienceqa stores the option index
+        answer = string.ascii_uppercase[answer]
+    return dict(
+        text=f"{context}{question}\n{_format_choices(choices)}{MCQ_HINT}",
+        image=_get(record, "image"),
+        answer=answer,
+        choices=[str(c) for c in choices],
+    )
+
+
+register_benchmark(Benchmark(
+    name="scienceqa", dataset="derek-thomas/ScienceQA", split="test",
+    build_prompt=_scienceqa_prompt, score=multiple_choice_accuracy,
+    notes="SQA-IMG subset when filtered to rows with images",
+))
+
 for _name, _ds, _split in [
-    ("scienceqa", "derek-thomas/ScienceQA", "test"),
     ("mmbench_en", "lmms-lab/MMBench_EN", "dev"),
     ("mmbench_cn", "lmms-lab/MMBench_CN", "dev"),
     ("seed", "lmms-lab/SEED-Bench", "test"),

@@ -23,8 +23,6 @@ logger = None
 
 headers = {"User-Agent": "Cambrian-TPU Client"}
 
-no_change_btn = enable_btn = disable_btn = None  # bound in build_demo
-
 priority = {
     "cambrian-1": "aaaaaaa",
 }

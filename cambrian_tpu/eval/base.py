@@ -148,19 +148,55 @@ def yes_no_metrics(records: List[dict]) -> Dict[str, float]:
     return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1}
 
 
+_MME_PERCEPTION = {
+    "existence", "count", "position", "color", "posters", "celebrity",
+    "scene", "landmark", "artwork", "ocr",
+}
+_MME_COGNITION = {
+    "commonsense_reasoning", "numerical_calculation", "text_translation",
+    "code_reasoning",
+}
+
+
 def mme_score(records: List[dict]) -> Dict[str, float]:
     """MME: per-image pair, acc (both questions right) and acc+; the
-    published score is 100 * (acc + acc+) summed over categories."""
-    by_image: Dict[str, List[bool]] = {}
+    published score is 100 * (acc + acc+) summed per category, with
+    perception/cognition totals (the reference's mme_test.py tables)."""
+    by_cat_image: Dict[str, Dict[str, List[bool]]] = {}
     for r in records:
         hit = normalize_answer(r["prediction"]).startswith(
             normalize_answer(str(r["answer"])))
-        by_image.setdefault(str(r.get("image_id", r.get("question_id"))), []).append(hit)
-    acc = float(np.mean([h for hits in by_image.values() for h in hits])) \
-        if by_image else 0.0
-    acc_plus = float(np.mean([all(h) for h in by_image.values()])) if by_image else 0.0
-    return {"accuracy": acc, "acc_plus": acc_plus,
-            "score": 100.0 * (acc + acc_plus)}
+        cat = str(r.get("category", "")).lower()
+        img = str(r.get("image_id", r.get("question_id")))
+        by_cat_image.setdefault(cat, {}).setdefault(img, []).append(hit)
+
+    out: Dict[str, float] = {}
+    perception = cognition = 0.0
+    all_hits, all_pairs = [], []
+    for cat, images in by_cat_image.items():
+        hits = [h for hs in images.values() for h in hs]
+        acc = float(np.mean(hits)) if hits else 0.0
+        acc_plus = float(np.mean([all(h) for h in images.values()])) \
+            if images else 0.0
+        score = 100.0 * (acc + acc_plus)
+        if cat:
+            out[f"score_{cat}"] = score
+        if cat in _MME_PERCEPTION:
+            perception += score
+        elif cat in _MME_COGNITION:
+            cognition += score
+        all_hits.extend(hits)
+        all_pairs.extend(all(h) for h in images.values())
+
+    acc = float(np.mean(all_hits)) if all_hits else 0.0
+    acc_plus = float(np.mean(all_pairs)) if all_pairs else 0.0
+    out.update({"accuracy": acc, "acc_plus": acc_plus,
+                "score": 100.0 * (acc + acc_plus)})
+    if perception:
+        out["perception_score"] = perception
+    if cognition:
+        out["cognition_score"] = cognition
+    return out
 
 
 def _levenshtein(a: str, b: str) -> int:

@@ -194,3 +194,50 @@ def test_sincos_pos_embed_parity():
     ours = get_2d_sincos_pos_embed(64, 8, cls_token=True)
     theirs = ref.get_2d_sincos_pos_embed(64, 8, cls_token=True)
     np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+def test_vision_aggregation_layer_parity():
+    """'sep' layer type (VisionAggregationLayer, vision_sampler.py:330-405)."""
+    queries, context, kvs, masks = _rand_inputs()
+
+    tlayer = ref.VisionAggregationLayer(HID, HID, [HID] * len(KV_SIZES), KV_SIZES, HID)
+    tlayer.eval()
+    tq, tc, tkv, tm = _flatten_for_ref(queries, context, kvs, masks)
+    with torch.no_grad():
+        ref_out = tlayer(tq, tc, *tkv, *tm).numpy().reshape(B, Q, HID)
+
+    from cambrian_tpu.models.sva import VisionAggregationLayer
+
+    params = {
+        "proj_context": {"kernel": _np(tlayer.proj_context.weight).T},
+        "proj_in": {"kernel": _np(tlayer.proj_in.weight).T},
+        "proj_out": _mlp_params(tlayer.proj_out),
+        "norm": {"scale": _np(tlayer.norm.weight), "bias": _np(tlayer.norm.bias)},
+        "weight_mlp": _mlp_params(tlayer.weight_mlp),
+    }
+    for i, ks in enumerate(KV_SIZES):
+        if hasattr(tlayer, f"pos_embed_{i}"):
+            params[f"pos_embed_{i}"] = _np(getattr(tlayer, f"pos_embed_{i}"))
+        agg = getattr(tlayer, f"aggregate_{i}")
+        if agg.attention:
+            a = agg.attention_layer
+            params[f"aggregate_{i}"] = {"attention_layer": {
+                "q_ln": _seq_weights(a.q_proj)["ln"],
+                "q_proj": _seq_weights(a.q_proj)["dense"],
+                "k_ln": _seq_weights(a.k_proj)["ln"],
+                "k_proj": _seq_weights(a.k_proj)["dense"],
+                "v_ln": _seq_weights(a.v_proj)["ln"],
+                "v_proj": _seq_weights(a.v_proj)["dense"],
+                "o_proj": {"kernel": _np(a.o_proj.weight).T},
+            }}
+        else:
+            params[f"aggregate_{i}"] = {
+                "attention_layer": _mlp_params(agg.attention_layer)}
+
+    flayer = VisionAggregationLayer(q_dim=HID, kv_size_list=KV_SIZES, hidden_dim=HID)
+    ours = np.asarray(flayer.apply(
+        {"params": jax.tree.map(jnp.asarray, params)},
+        jnp.asarray(queries), jnp.asarray(context),
+        [jnp.asarray(k) for k in kvs], [jnp.asarray(m) for m in masks],
+    ))
+    np.testing.assert_allclose(ours, ref_out, rtol=1e-4, atol=1e-5)

@@ -116,6 +116,143 @@ def _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
     return out[:, :s_q, :d]
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                     scale, causal, block_q, sliding_window, q_offset):
+    """Flash backward: recompute the q-block's probabilities against the
+    VMEM-resident K/V stripe, then
+        dv += p^T do,  dp = do v^T,  ds = p * (dp - rowsum(do*o)),
+        dq = ds k,     dk += ds^T q.
+    dk/dv accumulate across the (sequential, innermost) q-block grid dim.
+    """
+    qi = pl.program_id(1)
+    n_q = pl.num_programs(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    o = o_ref[0]
+    do = do_ref[0]
+    s_k = k.shape[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ) * scale
+
+    mask = valid_ref[0] > 0
+    if causal or sliding_window is not None:
+        q_pos = (qi * block_q + q_offset
+                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_k), 0))
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_k), 1)
+        if causal:
+            mask = mask & (k_pos <= q_pos)
+        if sliding_window is not None:
+            mask = mask & (q_pos - k_pos < sliding_window)
+
+    logits = jnp.where(mask, logits, NEG_INF)
+    row_max = jnp.max(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits - row_max)
+    probs = jnp.where(mask, probs, 0.0)
+    denom = jnp.maximum(jnp.sum(probs, axis=-1, keepdims=True), 1e-30)
+    probs = probs / denom                                   # [bq, Sk] fp32
+
+    do32 = do.astype(jnp.float32)
+    o32 = o.astype(jnp.float32)
+    delta = jnp.sum(do32 * o32, axis=-1, keepdims=True)     # [bq, 1]
+    dp = jax.lax.dot_general(
+        do32, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [bq, Sk]
+    ds = probs * (dp - delta) * scale
+
+    dq = jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dv_part = jax.lax.dot_general(
+        probs, do32, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Sk, D]
+    dk_part = jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Sk, D]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[...] = dk_part
+        dv_acc[...] = dv_part
+
+    @pl.when(qi > 0)
+    def _():
+        dk_acc[...] += dk_part
+        dv_acc[...] += dv_part
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, key_valid, o, do, scale, causal, sliding_window,
+                    q_offset, block_q):
+    bh, s_q, d = q.shape
+    s_k = k.shape[1]
+    d_pad = _round_up(d, 128)
+    sq_pad = _round_up(s_q, block_q)
+    sk_pad = _round_up(s_k, 128)
+
+    qp = jnp.pad(q, ((0, 0), (0, sq_pad - s_q), (0, d_pad - d)))
+    kp = jnp.pad(k, ((0, 0), (0, sk_pad - s_k), (0, d_pad - d)))
+    vp = jnp.pad(v, ((0, 0), (0, sk_pad - s_k), (0, d_pad - d)))
+    op = jnp.pad(o, ((0, 0), (0, sq_pad - s_q), (0, d_pad - d)))
+    dop = jnp.pad(do, ((0, 0), (0, sq_pad - s_q), (0, d_pad - d)))
+    validp = jnp.pad(key_valid.astype(jnp.int32), ((0, 0), (0, sk_pad - s_k)))
+    validp = validp[:, None, :]
+
+    grid = (bh, sq_pad // block_q)
+    kwargs = dict(scale=scale, causal=causal, block_q=block_q,
+                  sliding_window=sliding_window, q_offset=q_offset)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, **kwargs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sk_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk_pad, d_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((bh, sk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk_pad, d_pad), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((sk_pad, d_pad), jnp.float32),
+            pltpu.VMEM((sk_pad, d_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * sq_pad * sk_pad * d_pad,
+            bytes_accessed=5 * qp.size * qp.dtype.itemsize,
+            transcendentals=bh * sq_pad * sk_pad,
+        ),
+    )(qp, kp, vp, validp, op, dop)
+    return dq[:, :s_q, :d], dk[:, :s_k, :d], dv[:, :s_k, :d]
+
+
 def _xla_reference(q, k, v, key_valid, scale, causal, sliding_window, q_offset):
     """Plain-XLA attention with identical mask semantics (CPU path + the
     custom-vjp backward)."""
@@ -147,17 +284,13 @@ def _flash_fwd(q, k, v, key_valid, scale, causal, sliding_window, q_offset,
                block_q):
     out = _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
                           q_offset, block_q)
-    return out, (q, k, v, key_valid)
+    return out, (q, k, v, key_valid, out)
 
 
 def _flash_bwd(scale, causal, sliding_window, q_offset, block_q, res, g):
-    q, k, v, key_valid = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_valid, scale, causal,
-                                          sliding_window, q_offset),
-        q, k, v,
-    )
-    dq, dk, dv = vjp(g)
+    q, k, v, key_valid, out = res
+    dq, dk, dv = _flash_bwd_impl(q, k, v, key_valid, out, g, scale, causal,
+                                 sliding_window, q_offset, block_q)
     return dq, dk, dv, None
 
 

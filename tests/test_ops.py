@@ -100,3 +100,29 @@ def test_windowed_equals_flattened_sdpa():
         )
     ).reshape(b, nq, h, d)
     np.testing.assert_allclose(ours, flat, rtol=1e-5, atol=1e-6)
+
+
+def test_flash_attention_cpu_fallback_grads():
+    """Off-TPU the wrapper uses the XLA path; grads must match a direct
+    reference (guards the custom_vjp wiring)."""
+    import jax
+
+    from cambrian_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 1, 12, 2, 8
+    q = jnp.asarray(RNG.standard_normal((b, s, h, d), dtype=np.float32))
+    valid = jnp.ones((b, s), dtype=bool)
+    g = jnp.asarray(RNG.standard_normal((b, s, h, d), dtype=np.float32))
+
+    def loss(q, k, v):
+        return jnp.vdot(flash_attention(q, k, v, valid, causal=True), g)
+
+    def ref_loss(q, k, v):
+        mask = valid[:, None, None, :] & jnp.tril(jnp.ones((s, s), bool))[None, None]
+        return jnp.vdot(dot_product_attention(q, k, v, mask), g)
+
+    ga = jax.grad(loss, argnums=(0, 1, 2))(q, q, q)
+    gb = jax.grad(ref_loss, argnums=(0, 1, 2))(q, q, q)
+    for a, b_ in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)

@@ -286,10 +286,25 @@ class CambrianTrainer:
 
             index_iter = self._index_stream(int(np.ceil(args.num_train_epochs)))
 
+            zero_supervision_batches = 0
+
             def make_batch():
+                nonlocal zero_supervision_batches
                 idx = next(index_iter)
                 instances = [self.train_dataset[i] for i in idx]
                 batch = self.data_collator(instances)
+                # a batch whose labels are fully IGNORE_INDEX trains on
+                # nothing but still reports loss 0.0 — the silent failure
+                # mode of truncated prompts or tokenizer mismatches
+                if (batch["labels"] != -100).sum() == 0:
+                    zero_supervision_batches += 1
+                    if zero_supervision_batches <= 3 or \
+                            zero_supervision_batches % 100 == 0:
+                        logger.warning(
+                            "batch has ZERO supervised tokens (%d so far): "
+                            "check model_max_length vs prompt length and the "
+                            "tokenizer's template special tokens",
+                            zero_supervision_batches)
                 batch = {
                     k: ([jnp.asarray(x) for x in v] if isinstance(v, list)
                         else jnp.asarray(v))

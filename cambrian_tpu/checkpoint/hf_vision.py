@@ -111,6 +111,52 @@ def convert_siglip_vision(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
     return params
 
 
+def convert_siglip_timm(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
+    """timm/open_clip SigLIP trunk -> VisionTransformer params.
+
+    The reference loads ViT-SO400M-14-SigLIP-384 through open_clip
+    (siglip_encoder.py:52-64); checkpoint keys are timm-style with fused qkv
+    ('visual.trunk.blocks.N.attn.qkv.weight'). The attn-pool head is ignored
+    (the tower taps trunk tokens)."""
+    for prefix in ("visual.trunk.", "trunk.", ""):
+        if any(k.startswith(prefix + "patch_embed.") for k in sd):
+            break
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    pos = sd["pos_embed"]
+    if pos.ndim == 3:
+        pos = pos[0]
+    params = {
+        "patch_embed": {
+            "kernel": _conv_kernel(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "pos_embed": pos,
+    }
+    c = cfg.hidden_size
+    for i in range(cfg.num_blocks_to_run):
+        lp = f"blocks.{i}."
+        qkv_w = sd[lp + "attn.qkv.weight"]      # [3C, C]
+        qkv_b = sd[lp + "attn.qkv.bias"]
+        q_w, k_w, v_w = np.split(qkv_w, 3, axis=0)
+        q_b, k_b, v_b = np.split(qkv_b, 3, axis=0)
+        params[f"blocks_{i}"] = {
+            "norm1": _ln(sd, lp + "norm1"),
+            "attn": {
+                "q_proj": {"kernel": q_w.T, "bias": q_b},
+                "k_proj": {"kernel": k_w.T, "bias": k_b},
+                "v_proj": {"kernel": v_w.T, "bias": v_b},
+                "out_proj": _dense(sd, lp + "attn.proj"),
+            },
+            "norm2": _ln(sd, lp + "norm2"),
+            "mlp": {"fc1": _dense(sd, lp + "mlp.fc1"),
+                    "fc2": _dense(sd, lp + "mlp.fc2")},
+        }
+    if cfg.num_blocks_to_run == cfg.num_layers and cfg.final_layernorm:
+        params["final_layernorm"] = _ln(sd, "norm")
+    return params
+
+
 def convert_dinov2(sd: Dict[str, np.ndarray], cfg: ViTConfig,
                    native_image_size: Optional[int] = None) -> dict:
     """Dinov2Model -> VisionTransformer params (LayerScale + optional SwiGLU).
@@ -168,11 +214,12 @@ def convert_convnext(sd: Dict[str, np.ndarray], cfg: ConvNeXtConfig) -> dict:
     Accepts HF ConvNextModel naming (embeddings/encoder.stages...) or
     timm/open_clip naming (stem/stages...).
     """
-    hf = any(k.startswith("embeddings.") for k in sd) or any(
-        k.startswith("convnext.") for k in sd
-    )
-    if any(k.startswith("convnext.") for k in sd):
-        sd = {k[len("convnext."):]: v for k, v in sd.items() if k.startswith("convnext.")}
+    for prefix in ("visual.trunk.", "trunk.", "convnext."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}
+            break
+    hf = any(k.startswith("embeddings.") for k in sd)
 
     trunk = {}
     if hf:

@@ -110,8 +110,10 @@ def load_tower_params(tower: VisionTower, rng=None):
             return jax.tree.map(jnp.asarray,
                                 hf_vision.convert_convnext(sd, tower.config))
         if "siglip" in name:
-            return jax.tree.map(jnp.asarray,
-                                hf_vision.convert_siglip_vision(sd, tower.config))
+            timm_style = any(".attn.qkv." in k for k in sd)
+            conv = (hf_vision.convert_siglip_timm if timm_style
+                    else hf_vision.convert_siglip_vision)
+            return jax.tree.map(jnp.asarray, conv(sd, tower.config))
         if "dinov2" in name:
             return jax.tree.map(jnp.asarray,
                                 hf_vision.convert_dinov2(sd, tower.config))

@@ -192,3 +192,65 @@ def test_production_tower_registry():
         t = build_vision_tower(name)
         assert t.hidden_size == hidden, name
         assert t.num_patches == ntok, name
+
+
+def test_siglip_timm_format_parity():
+    """open_clip/timm checkpoint layout (fused qkv, 'visual.trunk.' prefix)
+    must produce the same tower as the HF layout."""
+    from transformers import SiglipVisionConfig, SiglipVisionModel
+
+    from cambrian_tpu.checkpoint.hf_vision import convert_siglip_timm
+
+    hf_cfg = SiglipVisionConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, image_size=28, patch_size=14,
+        hidden_act="gelu_pytorch_tanh", layer_norm_eps=1e-6,
+    )
+    hf = SiglipVisionModel(hf_cfg).eval()
+    sd = _sd(hf)
+
+    # synthesize the timm-style dict from the HF weights
+    timm_sd = {
+        "visual.trunk.patch_embed.proj.weight":
+            sd["vision_model.embeddings.patch_embedding.weight"],
+        "visual.trunk.patch_embed.proj.bias":
+            sd["vision_model.embeddings.patch_embedding.bias"],
+        "visual.trunk.pos_embed":
+            sd["vision_model.embeddings.position_embedding.weight"][None],
+        "visual.trunk.norm.weight": sd["vision_model.post_layernorm.weight"],
+        "visual.trunk.norm.bias": sd["vision_model.post_layernorm.bias"],
+    }
+    for i in range(2):
+        hp = f"vision_model.encoder.layers.{i}."
+        tp = f"visual.trunk.blocks.{i}."
+        timm_sd[tp + "attn.qkv.weight"] = np.concatenate([
+            sd[hp + "self_attn.q_proj.weight"],
+            sd[hp + "self_attn.k_proj.weight"],
+            sd[hp + "self_attn.v_proj.weight"],
+        ], axis=0)
+        timm_sd[tp + "attn.qkv.bias"] = np.concatenate([
+            sd[hp + "self_attn.q_proj.bias"],
+            sd[hp + "self_attn.k_proj.bias"],
+            sd[hp + "self_attn.v_proj.bias"],
+        ], axis=0)
+        timm_sd[tp + "attn.proj.weight"] = sd[hp + "self_attn.out_proj.weight"]
+        timm_sd[tp + "attn.proj.bias"] = sd[hp + "self_attn.out_proj.bias"]
+        for a, b in [("norm1", "layer_norm1"), ("norm2", "layer_norm2")]:
+            timm_sd[tp + a + ".weight"] = sd[hp + b + ".weight"]
+            timm_sd[tp + a + ".bias"] = sd[hp + b + ".bias"]
+        for fc in ("fc1", "fc2"):
+            timm_sd[tp + f"mlp.{fc}.weight"] = sd[hp + f"mlp.{fc}.weight"]
+            timm_sd[tp + f"mlp.{fc}.bias"] = sd[hp + f"mlp.{fc}.bias"]
+
+    cfg = ViTConfig(hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+                    patch_size=14, image_size=28, class_token=False,
+                    final_layernorm=True, act="gelu_tanh", select_layer=0,
+                    ln_eps=1e-6)
+    mod = VisionTransformer(cfg)
+    params = jax.tree.map(jnp.asarray, convert_siglip_timm(timm_sd, cfg))
+
+    px = _pixels(2, 28)
+    ours = np.asarray(mod.apply({"params": params}, jnp.asarray(px)))
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(px)).last_hidden_state.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

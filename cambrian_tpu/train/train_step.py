@@ -98,6 +98,34 @@ def make_train_step(
     return step
 
 
+def make_lora_train_step(model, towers, base_params, alpha: float, rank: int):
+    """LoRA training step: state.params is the ADAPTER tree; the frozen base
+    is a captured constant, merged inside the loss (train/lora.py)."""
+    from .lora import apply_lora
+
+    def step(state: TrainState, tower_params, batch):
+        def loss_fn(adapters):
+            merged = apply_lora(base_params, adapters, alpha, rank)
+            aux_features = None
+            if towers is not None and batch.get("images") is not None:
+                aux_features = [
+                    jax.lax.stop_gradient(t.apply(tp, px))
+                    for t, tp, px in zip(towers, tower_params, batch["images"])
+                ]
+            logits = model.apply(
+                merged, batch["input_ids"], batch["attention_mask"],
+                batch["position_ids"], aux_features, batch.get("aux_masks"),
+            )
+            return cross_entropy_loss(logits, batch["labels"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, {"loss": loss, "grad_norm": optax_global_norm(grads),
+                           "step": new_state.step}
+
+    return step
+
+
 def optax_global_norm(tree):
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))

@@ -68,6 +68,13 @@ class TrainingArguments(TrainConfig):
     # logging backends ("none" or "wandb"; wandb is optional in this image)
     report_to: str = "none"
     run_name: Optional[str] = None
+    # LoRA (reference train_fsdp.py lora_* flags)
+    lora_enable: bool = False
+    lora_r: int = 16
+    lora_alpha: int = 32
+    lora_dropout: float = 0.0      # accepted for CLI parity; adapters are
+    lora_bias: str = "none"        # bias-free and dropout-free functionally
+    lora_weight_path: Optional[str] = None
     # gcs sync (reference GCloudRsyncCallback)
     gcs_output_dir: Optional[str] = None
 
@@ -252,7 +259,20 @@ class CambrianTrainer:
 
         init_params = self.init_params
         tower_arg = self.tower_params
-        if args.unfreeze_mm_vision_tower:
+        lora_base = None
+        if args.lora_enable:
+            from .lora import init_lora_params, lora_from_state_dict
+
+            lora_base = self.init_params
+            if args.lora_weight_path:
+                from safetensors.numpy import load_file
+
+                adapters = lora_from_state_dict(load_file(args.lora_weight_path))
+            else:
+                adapters = init_lora_params(
+                    lora_base, args.lora_r, jax.random.PRNGKey(args.seed))
+            init_params = adapters
+        elif args.unfreeze_mm_vision_tower:
             # towers join the trainable tree (vision_tower LR group); the
             # per-step tower argument becomes vestigial
             init_params = {"model": self.init_params,
@@ -266,8 +286,14 @@ class CambrianTrainer:
             state = TrainState(step=state.step, params=state.params,
                                opt_state=tx.init(state.params), tx=tx)
 
-        step_fn = make_train_step(self.model, self.towers,
-                                  train_towers=args.unfreeze_mm_vision_tower)
+        if args.lora_enable:
+            from .train_step import make_lora_train_step
+
+            step_fn = make_lora_train_step(self.model, self.towers, lora_base,
+                                           args.lora_alpha, args.lora_r)
+        else:
+            step_fn = make_train_step(self.model, self.towers,
+                                      train_towers=args.unfreeze_mm_vision_tower)
         state_sh = state_shardings(state, self.mesh)
         tower_sh = [infer_param_shardings(tp, self.mesh) for tp in tower_arg]
         batch_sh = batch_shardings(self.mesh, num_towers=len(self.towers))
@@ -349,5 +375,17 @@ class CambrianTrainer:
                 prefetcher.stop()
 
             self._save_checkpoint(state, rng_key, total_steps)
+            if args.lora_enable:
+                # persist adapters + stash the merged params for save_model
+                from safetensors.numpy import save_file
+
+                from .lora import lora_state_dict, merge_lora
+
+                adapters = jax.device_get(state.params)
+                os.makedirs(args.output_dir, exist_ok=True)
+                save_file(lora_state_dict(adapters),
+                          os.path.join(args.output_dir, "lora_adapters.safetensors"))
+                state = state.replace(params=merge_lora(
+                    lora_base, state.params, args.lora_alpha, args.lora_r))
             self._final_state = state
         return history

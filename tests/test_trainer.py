@@ -106,3 +106,22 @@ def test_train_resume(workdir):
     # resumes at the final step; loop is a no-op but restore must succeed
     history = train(model_args, data_args, training_args)
     assert isinstance(history, list)
+
+
+def test_train_lora(workdir):
+    d, ckpt, data_path, img_dir = workdir
+    out = str(d / "out_lora")
+    model_args, data_args, training_args = _args(d, ckpt, data_path, img_dir, out)
+    training_args.lora_enable = True
+    training_args.lora_r = 4
+    training_args.lora_alpha = 8
+    training_args.num_train_epochs = 2
+
+    history = train(model_args, data_args, training_args)
+    assert all(np.isfinite(h["loss"]) for h in history)
+    assert os.path.exists(os.path.join(out, "lora_adapters.safetensors"))
+    # merged HF export written and loadable
+    assert os.path.exists(os.path.join(out, "config.json"))
+    from cambrian_tpu.models.builder import load_config
+
+    assert load_config(out).image_token_len == 16

@@ -29,6 +29,10 @@ def load_image(image_file):
 
 
 def main(args):
+    if args.device and args.device != "tpu":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     model_name = get_model_name_from_path(args.model_path)
     tokenizer, model, image_processor, context_len = load_pretrained_model(
         args.model_path, args.model_base, model_name,

@@ -313,6 +313,10 @@ def main():
     parser.add_argument("--num-slots", type=int, default=4)
     args = parser.parse_args()
 
+    if args.device and args.device != "tpu":
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     logger = build_logger("model_worker", f"model_worker_{uuid.uuid4().hex[:6]}.log")
     worker = ModelWorker(
         args.controller_address, args.worker_address, uuid.uuid4().hex[:6],

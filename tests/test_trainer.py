@@ -125,3 +125,27 @@ def test_train_lora(workdir):
     from cambrian_tpu.models.builder import load_config
 
     assert load_config(out).image_token_len == 16
+
+
+def test_consolidate_training_output(workdir):
+    """Orbax training checkpoint -> HF export -> loadable model (the
+    reference's consolidate + convert_hf_model pipeline, SURVEY §3.5)."""
+    d, ckpt, data_path, img_dir = workdir
+    out = str(d / "out")
+    if not os.path.isdir(os.path.join(out, "orbax")):
+        # order-independent: produce the training output if absent
+        train(*_args(d, ckpt, data_path, img_dir, out))
+    from cambrian_tpu.checkpoint.consolidate import consolidate
+    from cambrian_tpu.models.builder import load_pretrained_model
+
+    hf_dir = str(d / "consolidated")
+    consolidate(out, hf_dir)
+    import shutil
+
+    for f in os.listdir(ckpt):
+        if f.startswith("tokenizer"):
+            shutil.copy(os.path.join(ckpt, f), hf_dir)
+    tokenizer, model, processors, _ = load_pretrained_model(hf_dir)
+    ids = np.asarray(tokenizer("a cat sat").input_ids, dtype=np.int32)
+    out_ids = model.generate(ids, max_new_tokens=2)
+    assert out_ids.shape[0] == 1

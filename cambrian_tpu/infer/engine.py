@@ -152,6 +152,11 @@ class GenerationEngine:
             tokens = tokens.at[:, t].set(jnp.where(finished, pad_token_id, token))
             write_index = s + t
             cache_valid = cache_valid.at[:, write_index].set(~finished)
+            window = self.model.cfg.sliding_window
+            if window is not None:
+                # retire slots beyond the attention window (mistral/phi3)
+                keep = jnp.arange(k_len)[None, :] > (write_index - window)
+                cache_valid = cache_valid & keep
             next_logits, cache = self.model.apply(
                 params, token[:, None], (next_pos + t)[:, None], cache,
                 cache_valid, write_index, method=CambrianLM.decode_step,

@@ -117,3 +117,23 @@ def test_sharded_inference_matches_unsharded(bundle):
         out_sharded = sharded.generate(ids, mask, pos, None, None, cfg)
     out_plain = plain.generate(ids, mask, pos, None, None, cfg)
     np.testing.assert_array_equal(out_plain, out_sharded)
+
+
+def test_sliding_window_host_device_parity(bundle):
+    """Sliding-window cache retirement must behave identically in the host
+    loop and the on-device loop (generation long enough to exceed the
+    window)."""
+    import dataclasses
+
+    from cambrian_tpu.models.cambrian import CambrianLM
+
+    tokenizer, model = bundle
+    cfg_w = model.config.replace(sliding_window=8)
+    lm = CambrianLM(cfg_w, model.lm.tower_hidden_sizes)
+    engine = GenerationEngine(lm, model.params, max_len=128,
+                              cache_dtype=jnp.float32)
+    ids, mask, pos = _mk_prompt(tokenizer, "a cat sat on the mat today")
+    gcfg = GenerationConfig(max_new_tokens=12, temperature=0.0)
+    host = engine.generate(ids, mask, pos, None, None, gcfg, on_device=False)
+    dev = engine.generate(ids, mask, pos, None, None, gcfg, on_device=True)
+    np.testing.assert_array_equal(host, dev)

@@ -47,12 +47,17 @@ class ConvNeXtBlock(nn.Module):
             self.dim, kernel_size=(7, 7), padding=3, feature_group_count=self.dim,
             dtype=self.dtype, name="dwconv",
         )(x)
+        # flatten spatial dims so the pointwise GEMMs run as one large matmul
+        # (XLA schedules the 4-D form as per-row batched GEMMs at ~22% MXU;
+        # flat is ~20% faster end to end — docs/PERF_NOTES.md)
+        b, hh, ww, c = h.shape
+        h = h.reshape(b * hh * ww, c)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
-        return x + h * gamma.astype(h.dtype)
+        return x + (h * gamma.astype(h.dtype)).reshape(b, hh, ww, c)
 
 
 class ConvNeXt(nn.Module):

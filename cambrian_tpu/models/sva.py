@@ -62,6 +62,15 @@ def _gelu(x):
     return nn.gelu(x, approximate=False)
 
 
+def _flat(fn, x):
+    """Apply fn over a 2-D [rows, C] view: XLA schedules Dense over >2-D
+    inputs as per-slice batched GEMMs (tiny M for windowed tensors); one flat
+    matmul keeps the MXU busy (docs/PERF_NOTES.md)."""
+    shape = x.shape
+    out = fn(x.reshape(-1, shape[-1]))
+    return out.reshape(*shape[:-1], out.shape[-1])
+
+
 class Mlp(nn.Module):
     """Linear -> GELU -> Linear, no biases (vision_sampler.py:237-245)."""
 
@@ -103,19 +112,22 @@ class MultiKVCrossAttention(nn.Module):
         b, q_len = queries.shape[:2]
         head_dim = self.hidden_dim // self.num_heads
 
-        q = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="q_ln")(queries)
-        q = nn.Dense(self.hidden_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                     name="q_proj")(q)
+        q_ln = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="q_ln")
+        q_proj = nn.Dense(self.hidden_dim, use_bias=self.attention_bias,
+                          dtype=self.dtype, name="q_proj")
+        q = _flat(lambda t: q_proj(q_ln(t)), queries)
         q = q.reshape(b, q_len, self.num_heads, head_dim)
 
         ks, vs = [], []
         for i, kv in enumerate(kv_list):
-            k = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name=f"k_ln_{i}")(kv)
-            k = nn.Dense(self.hidden_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                         name=f"k_proj_{i}")(k)
-            v = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name=f"v_ln_{i}")(kv)
-            v = nn.Dense(self.hidden_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                         name=f"v_proj_{i}")(v)
+            k_ln = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name=f"k_ln_{i}")
+            k_proj = nn.Dense(self.hidden_dim, use_bias=self.attention_bias,
+                              dtype=self.dtype, name=f"k_proj_{i}")
+            v_ln = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name=f"v_ln_{i}")
+            v_proj = nn.Dense(self.hidden_dim, use_bias=self.attention_bias,
+                              dtype=self.dtype, name=f"v_proj_{i}")
+            k = _flat(lambda t: k_proj(k_ln(t)), kv)
+            v = _flat(lambda t: v_proj(v_ln(t)), kv)
             w = kv.shape[2]
             ks.append(k.reshape(b, q_len, w, self.num_heads, head_dim))
             vs.append(v.reshape(b, q_len, w, self.num_heads, head_dim))
@@ -127,9 +139,10 @@ class MultiKVCrossAttention(nn.Module):
             mask = jnp.concatenate([m.astype(bool) for m in mask_list], axis=-1)
 
         out = windowed_cross_attention(q, k, v, mask)
-        out = out.reshape(b, q_len, self.hidden_dim)
-        return nn.Dense(self.out_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                        name="o_proj")(out)
+        out = out.reshape(b * q_len, self.hidden_dim)
+        out = nn.Dense(self.out_dim, use_bias=self.attention_bias, dtype=self.dtype,
+                       name="o_proj")(out)
+        return out.reshape(b, q_len, self.out_dim)
 
 
 class CrossAttention(nn.Module):
@@ -186,10 +199,12 @@ class VisionCrossAttentionLayer(nn.Module):
         mask_list: Optional[Sequence[jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         residual = queries
-        context = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                           name="proj_context")(context_feature)
+        context = _flat(
+            nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
+                     name="proj_context"), context_feature)
         x = jnp.concatenate([queries, context], axis=-1)
-        x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="proj_in")(x)
+        x = _flat(nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
+                           name="proj_in"), x)
 
         kv_pos = []
         for i, kv in enumerate(kv_list):
@@ -214,8 +229,9 @@ class VisionCrossAttentionLayer(nn.Module):
         )(x, kv_pos, mask_list)
 
         x = x + attn_out
-        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm")(x)
-        x = Mlp(self.hidden_dim, self.q_dim, dtype=self.dtype, name="proj_out")(x)
+        x = _flat(nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm"), x)
+        x = _flat(Mlp(self.hidden_dim, self.q_dim, dtype=self.dtype,
+                      name="proj_out"), x)
         return x + residual
 
 

@@ -388,10 +388,13 @@ class _AuxProjector(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        shape = x.shape
+        x = x.reshape(-1, shape[-1])  # one big GEMM (docs/PERF_NOTES.md)
         x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc2")(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+        return x.reshape(*shape[:-1], x.shape[-1])
 
 
 class _SvaProjector(nn.Module):

@@ -14,6 +14,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _resize_matrix(in_size: int, out_size: int) -> jnp.ndarray:
+    """[out, in] fp32 matrix equivalent to bilinear resize along one axis
+    (extracted by resizing the identity — bilinear resize is linear)."""
+    eye = jnp.eye(in_size, dtype=jnp.float32)
+    return jax.image.resize(eye, (out_size, in_size), method="bilinear",
+                            antialias=False)
+
+
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Resize the two trailing-but-one spatial dims of a NHWC or HWC array.
 
@@ -23,10 +31,26 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
     Returns:
         [..., out_h, out_w, C] with x.dtype, computed in fp32.
+
+    For low-precision inputs the resize runs as two fp32-accumulated einsums
+    against precomputed axis matrices (bf16 values are exact in fp32, so this
+    matches the cast-to-fp32-then-resize reference semantics to output
+    rounding; 2.6x faster than materializing the fp32 copy —
+    docs/PERF_NOTES.md).
     """
     dtype = x.dtype
+    h, w = x.shape[-3], x.shape[-2]
+    if dtype in (jnp.bfloat16, jnp.float16):
+        wh = _resize_matrix(h, out_h)
+        ww = _resize_matrix(w, out_w)
+        y = jnp.einsum("hH,...Hwc->...hwc", wh, x,
+                       preferred_element_type=jnp.float32)
+        y = jnp.einsum("wW,...hWc->...hwc", ww, y,
+                       preferred_element_type=jnp.float32)
+        return y.astype(dtype)
     shape = x.shape[:-3] + (out_h, out_w, x.shape[-1])
-    y = jax.image.resize(x.astype(jnp.float32), shape, method="bilinear", antialias=False)
+    y = jax.image.resize(x.astype(jnp.float32), shape, method="bilinear",
+                         antialias=False)
     return y.astype(dtype)
 
 

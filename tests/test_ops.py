@@ -5,6 +5,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp
 
 from cambrian_tpu.ops import dot_product_attention, layer_norm, rms_norm, resize_bilinear
@@ -126,3 +127,20 @@ def test_flash_attention_cpu_fallback_grads():
     for a, b_ in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_resize_bilinear_bf16_matrix_path_matches_f32_path():
+    """The einsum-matrix resize for bf16 must equal cast-to-fp32-then-resize
+    within output rounding (1 bf16 ulp)."""
+    x32 = RNG.standard_normal((2, 24, 24, 8), dtype=np.float32)
+    x16 = jnp.asarray(x32, jnp.bfloat16)
+    out16 = resize_bilinear(x16, 96, 96)
+    ref = jax.image.resize(x16.astype(jnp.float32), (2, 96, 96, 8), "bilinear")
+    diff = np.abs(np.asarray(out16, np.float32) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)) + 1e-6
+    assert (diff / scale).max() < 1e-2  # ~1 bf16 ulp
+
+    # downscale direction too
+    out_down = resize_bilinear(jnp.asarray(
+        RNG.standard_normal((1, 96, 96, 4), dtype=np.float32), jnp.bfloat16), 24, 24)
+    assert out_down.shape == (1, 24, 24, 4)

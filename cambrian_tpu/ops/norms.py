@@ -3,9 +3,21 @@ TPU (train_fsdp.py:1428-1438 replaces HF's RMSNorm with an fp32 version, and
 Conv/Linear bias dtypes are harmonized at :1440-1452). Computing the variance
 in bf16 silently destroys 34B-scale training; these helpers always reduce in
 fp32 and cast back to the input dtype.
+
+Includes a fused single-pass Pallas LayerNorm for the TPU hot path: XLA lowers
+the fp32-stat LayerNorm into separate convert/reduce + normalize kernels that
+materialize fp32 intermediates in HBM (~87ms of the bs=8 4-tower encode —
+docs/PERF_NOTES.md); the fused kernel reads the bf16 activations once, keeps
+the fp32 statistics in VMEM, and writes the normalized bf16 output once.
 """
 
+import functools
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
+from flax import linen as nn
+from jax.experimental import pallas as pl
 
 
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -27,3 +39,104 @@ def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     y = (x32 - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
     y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
     return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass LayerNorm (Pallas, TPU)
+# ---------------------------------------------------------------------------
+
+_LN_BLOCK_ROWS = 256
+
+
+def _ln_kernel(x_ref, w_ref, b_ref, o_ref, *, eps):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    o_ref[...] = (y * w_ref[...] + b_ref[...]).astype(o_ref.dtype)
+
+
+def _ln_pallas(x2, w, b, eps, interpret):
+    r, c = x2.shape
+    block_r = min(_LN_BLOCK_ROWS, max(8, -(-r // 8) * 8))
+    return pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps),
+        grid=(pl.cdiv(r, block_r),),
+        in_specs=[
+            pl.BlockSpec((block_r, c), lambda i: (i, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, c), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_r, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, c), x2.dtype),
+        interpret=interpret,
+    )(x2, w.reshape(1, c).astype(jnp.float32), b.reshape(1, c).astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_ln(x2, w, b, eps, interpret):
+    return _ln_pallas(x2, w, b, eps, interpret)
+
+
+def _fused_ln_fwd(x2, w, b, eps, interpret):
+    return _ln_pallas(x2, w, b, eps, interpret), (x2, w)
+
+
+def _fused_ln_bwd(eps, interpret, res, g):
+    # Standard LayerNorm backward in fp32, recomputing the statistics from the
+    # saved input (memory-bound either way; saving fp32 stats would not help).
+    x2, w = res
+    x = x2.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xc * inv
+    gw = gf * w.astype(jnp.float32)
+    m1 = jnp.mean(gw, axis=-1, keepdims=True)
+    m2 = jnp.mean(gw * xhat, axis=-1, keepdims=True)
+    dx = (inv * (gw - m1 - xhat * m2)).astype(x2.dtype)
+    dw = jnp.sum(gf * xhat, axis=0).astype(w.dtype)
+    db = jnp.sum(gf, axis=0).astype(w.dtype)
+    return dx, dw, db
+
+
+_fused_ln.defvjp(_fused_ln_fwd, _fused_ln_bwd)
+
+
+def fused_layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                     eps: float = 1e-5, *, interpret: bool = False) -> jnp.ndarray:
+    """LayerNorm over the trailing axis, fused into one HBM pass on TPU.
+
+    Falls back to the XLA `layer_norm` off-TPU (tests run on the CPU mesh) and
+    for feature dims that don't tile the (8, 128) VREG layout. Numerics match
+    `layer_norm` (fp32 statistics AND fp32 normalize/affine), which is slightly
+    tighter than flax's ``nn.LayerNorm(dtype=bf16)`` (fp32 stats, bf16 affine).
+    """
+    c = x.shape[-1]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not (on_tpu or interpret) or c % 128 != 0:
+        return layer_norm(x, weight, bias, eps)
+    y = _fused_ln(x.reshape(-1, c), weight, bias, eps, interpret)
+    return y.reshape(x.shape)
+
+
+class FusedLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm(epsilon=, dtype=, name=)`` on the trailing
+    axis: same param names ("scale"/"bias", fp32) and shapes, so checkpoint
+    converters and sharding rules are unchanged; routes to the fused Pallas
+    kernel on TPU."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        return fused_layer_norm(x, scale, bias, self.epsilon)

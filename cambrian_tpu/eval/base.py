@@ -122,6 +122,31 @@ def multiple_choice_accuracy(records: List[dict]) -> Dict[str, float]:
     return {"accuracy": float(np.mean(hits)) if hits else 0.0}
 
 
+def circular_multiple_choice_accuracy(records: List[dict]) -> Dict[str, float]:
+    """MMBench CircularEval: the dev set ships each question N times with the
+    choices rotated, and rotated copies share ``index % 1e6`` (the official
+    OpenCompass convention). A question is correct only if EVERY rotation is
+    answered correctly. With no rotated copies present (e.g. a subsample) the
+    grouping degenerates to plain per-row accuracy. ``per_row_accuracy`` (the
+    reference's vanilla scoring, mmbench_en_eval.py) is reported alongside.
+    """
+    per_row = []
+    groups: Dict[object, list] = {}
+    for r in records:
+        letter = extract_choice_letter(r["prediction"], r.get("choices"))
+        hit = letter.upper() == str(r["answer"]).strip().upper()
+        per_row.append(hit)
+        qid = r.get("question_id")
+        try:
+            key = int(qid) % 1_000_000
+        except (TypeError, ValueError):
+            key = qid
+        groups.setdefault(key, []).append(hit)
+    acc = float(np.mean([all(v) for v in groups.values()])) if groups else 0.0
+    return {"accuracy": acc,
+            "per_row_accuracy": float(np.mean(per_row)) if per_row else 0.0}
+
+
 def yes_no_metrics(records: List[dict]) -> Dict[str, float]:
     """POPE scoring: accuracy, precision, recall, F1 with 'yes' positive."""
 

@@ -13,6 +13,7 @@ from typing import Dict, List, Optional, Sequence
 from .base import (
     Benchmark,
     anls,
+    circular_multiple_choice_accuracy,
     contains_match,
     exact_match,
     mme_score,
@@ -146,8 +147,6 @@ register_benchmark(Benchmark(
 ))
 
 for _name, _ds, _split in [
-    ("mmbench_en", "lmms-lab/MMBench_EN", "dev"),
-    ("mmbench_cn", "lmms-lab/MMBench_CN", "dev"),
     ("seed", "lmms-lab/SEED-Bench", "test"),
     ("ai2d", "lmms-lab/ai2d", "test"),
     ("mmstar", "Lin-Chen/MMStar", "val"),
@@ -160,6 +159,16 @@ for _name, _ds, _split in [
     register_benchmark(Benchmark(
         name=_name, dataset=_ds, split=_split,
         build_prompt=_mcq_prompt, score=multiple_choice_accuracy,
+    ))
+
+# MMBench EN/CN: CircularEval over the rotated dev-set copies (official
+# protocol; the reference's mmbench_en_eval.py scores per-row only — we
+# report that as per_row_accuracy)
+for _name, _ds in [("mmbench_en", "lmms-lab/MMBench_EN"),
+                   ("mmbench_cn", "lmms-lab/MMBench_CN")]:
+    register_benchmark(Benchmark(
+        name=_name, dataset=_ds, split="dev",
+        build_prompt=_mcq_prompt, score=circular_multiple_choice_accuracy,
     ))
 
 # CV-Bench: the reference's ade/omni/coco splits (ade_eval.py:75 loads

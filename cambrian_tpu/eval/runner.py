@@ -121,7 +121,8 @@ def run_benchmark(benchmark_name: str, model_bundle, conv_mode: str,
             prediction = tokenizer.batch_decode(
                 output_ids, skip_special_tokens=True)[0].strip()
             row = {
-                "question_id": record.get("question_id", record.get("id", int(i))),
+                "question_id": record.get("question_id", record.get(
+                    "id", record.get("index", int(i)))),
                 "prompt": prompt_dict["text"],
                 "text": prediction,
                 "prediction": prediction,

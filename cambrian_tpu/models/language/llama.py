@@ -15,6 +15,7 @@ The in-decoder SVA injection (cambrian_llama.py:168-207) lives in
 models/cambrian.py, which owns the layer loop.
 """
 
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -62,12 +63,46 @@ def decoder_norm(cfg: "CambrianConfig", name: str):
 
 
 def rope_cos_sin(position_ids: jnp.ndarray, head_dim: int, theta: float,
-                 dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin tables [B, S, head_dim] (duplicated-half layout, HF convention)."""
+                 dtype=jnp.float32, ext_factors=None,
+                 mscale: float = 1.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [B, S, head_dim] (duplicated-half layout, HF convention).
+
+    ext_factors ([D/2] fp32, optional) divide the inverse frequencies and
+    mscale rescales the table — the LongRoPE/su parameterization of the
+    reference's vendored Phi3Su/YarnScaledRotaryEmbedding
+    (phi3/modeling_phi3.py) and of linear (position-interpolation) scaling.
+    """
     inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    if ext_factors is not None:
+        inv_freq = inv_freq / ext_factors
     angles = position_ids.astype(jnp.float32)[..., None] * inv_freq  # [B,S,D/2]
     emb = jnp.concatenate([angles, angles], axis=-1)
-    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+    return (jnp.cos(emb) * mscale).astype(dtype), (jnp.sin(emb) * mscale).astype(dtype)
+
+
+def rope_scaling_factors(cfg: CambrianConfig, seq_capacity: int):
+    """Resolve (ext_factors, mscale) from cfg.rope_scaling for a given static
+    sequence capacity (prefill length or KV-cache size — the trace-time upper
+    bound on positions, standing in for HF's dynamic seq_len check).
+
+    Supports "longrope"/"su" (Phi-3 128k: per-frequency short/long factor
+    lists with the sqrt(1 + ln(s)/ln(orig)) attention rescale) and "linear"
+    (position interpolation). None/unset -> plain RoPE.
+    """
+    rs = cfg.rope_scaling
+    if not rs:
+        return None, 1.0
+    typ = rs.get("type", rs.get("rope_type", ""))
+    if typ in ("longrope", "su"):
+        orig = cfg.original_max_position_embeddings or cfg.max_position_embeddings
+        factors = rs["long_factor"] if seq_capacity > orig else rs["short_factor"]
+        scale = cfg.max_position_embeddings / orig
+        mscale = 1.0 if scale <= 1.0 else math.sqrt(
+            1.0 + math.log(scale) / math.log(orig))
+        return jnp.asarray(factors, jnp.float32), mscale
+    if typ == "linear":
+        return jnp.full((cfg.head_dim // 2,), float(rs["factor"]), jnp.float32), 1.0
+    raise ValueError(f"unsupported rope_scaling type: {typ!r}")
 
 
 def _rotate_half(x):
@@ -143,7 +178,12 @@ class LlamaAttention(nn.Module):
                                                 self.dtype)
             q, k = apply_rope_interleaved(q, k, cos, sin)
         else:
-            cos, sin = rope_cos_sin(position_ids, d, c.rope_theta, self.dtype)
+            # seq capacity (static): cache size when decoding, else this call's
+            # span — trace-time stand-in for HF's dynamic long/short switch
+            seq_capacity = cache[0].shape[1] if cache is not None else s
+            ext, mscale = rope_scaling_factors(c, seq_capacity)
+            cos, sin = rope_cos_sin(position_ids, d, c.rope_theta, self.dtype,
+                                    ext, mscale)
             q, k = apply_rope(q, k, cos, sin)
 
         new_cache = None

@@ -67,6 +67,36 @@ def test_phi3_parity():
     _run_parity(hf, cfg)
 
 
+@pytest.mark.parametrize("seq", [12, 40])  # 12 < orig=32 < 40: short vs long factors
+def test_phi3_longrope_parity(seq):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    short = list(RNG.uniform(1.0, 1.2, 8))
+    long = list(RNG.uniform(2.0, 4.0, 8))
+    hf_cfg = Phi3Config(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64, original_max_position_embeddings=32,
+        rope_scaling={"type": "longrope", "short_factor": short,
+                      "long_factor": long},
+        sliding_window=None, tie_word_embeddings=False,
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    hf = Phi3ForCausalLM(hf_cfg).eval()
+    cfg = CambrianConfig(
+        model_type="phi3", vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rms_norm_eps=1e-5, rope_theta=10000.0, hidden_act="silu",
+        max_position_embeddings=64, original_max_position_embeddings=32,
+        rope_scaling={"type": "longrope", "short_factor": short,
+                      "long_factor": long},
+        **_COMMON_VISION,
+    )
+    _run_parity(hf, cfg, seq=seq)
+
+
 def test_mistral_parity_with_sliding_window():
     from transformers import MistralConfig, MistralForCausalLM
 

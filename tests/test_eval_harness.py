@@ -146,3 +146,28 @@ def test_run_benchmark_end_to_end(eval_setup):
     out_pivot = str(d / "pivot.csv")
     write_pivot(table, out_pivot)
     assert os.path.exists(out_pivot)
+
+
+def test_mmbench_circular_eval_grouping():
+    """Rotated copies share index % 1e6; a question counts only if every
+    rotation is right. q1 (1, 1000001): both right. q2 (2, 1000002): one
+    wrong -> circular 0.5, per-row 0.75."""
+    from cambrian_tpu.eval.base import circular_multiple_choice_accuracy
+
+    rows = [
+        {"question_id": 1, "prediction": "A", "answer": "A",
+         "choices": ["x", "y"]},
+        {"question_id": 1000001, "prediction": "B", "answer": "B",
+         "choices": ["y", "x"]},
+        {"question_id": 2, "prediction": "A", "answer": "A",
+         "choices": ["x", "y"]},
+        {"question_id": 1000002, "prediction": "A", "answer": "B",
+         "choices": ["y", "x"]},
+    ]
+    m = circular_multiple_choice_accuracy(rows)
+    assert m["accuracy"] == 0.5
+    assert m["per_row_accuracy"] == 0.75
+
+    # no rotations present -> degenerates to plain accuracy
+    m2 = circular_multiple_choice_accuracy(rows[:3])
+    assert m2["accuracy"] == 1.0

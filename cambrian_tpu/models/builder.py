@@ -260,6 +260,14 @@ def load_pretrained_model(
 ):
     """(tokenizer, model, image_processor_list, context_len) — reference
     model/builder.py:29-173 semantics on the JAX stack."""
+    if load_8bit or load_4bit:
+        # int8 weight-only kernels exist (ops/quant.py: quantize_params +
+        # Pallas dequant matmul) but are not yet threaded through the decoder
+        # modules; failing loudly beats silently serving bf16 weights.
+        raise NotImplementedError(
+            "load_8bit/load_4bit quantized loading is not wired into the "
+            "decoder yet (see ROADMAP.md); use dtype=jnp.bfloat16, or "
+            "cambrian_tpu.ops.quant for standalone weight quantization.")
     from transformers import AutoTokenizer
 
     from ..checkpoint.hf_llm import convert_cambrian

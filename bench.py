@@ -23,7 +23,7 @@ import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 4.0
 BATCH = 8
-ITERS = 5
+ITERS = 11  # median over a wider window: run-to-run tunnel/host jitter is ~4%
 
 
 def main():

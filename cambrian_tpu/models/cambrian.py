@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from ..ops.resize import resize_bilinear
+from ..parallel.sharding import constrain
 from .config import CambrianConfig
 from .language.llama import (
     LlamaDecoderLayer,
@@ -234,10 +235,16 @@ class CambrianLM(nn.Module):
         b = hidden.shape[0]
         side = c.image_token_len_per_side
 
+        # Pin batch sharding through the slice/write-back: without the
+        # constraints the partitioner reshards the window to TP layouts and
+        # back, triggering involuntary full rematerialization (spmd_partitioner
+        # warnings seen in the multichip dryrun).
+        hidden = constrain(hidden, ("data", "fsdp"), None, None)
         block = jax.vmap(
             lambda h, st: jax.lax.dynamic_slice(
                 h, (st, 0), (c.image_block_len, c.hidden_size))
         )(hidden, im_start)
+        block = constrain(block, ("data", "fsdp"), None, None)
         block = block.reshape(b, side, side + 1, c.hidden_size)
         latent, newline = block[:, :, :side], block[:, :, side:]
         latent = latent.reshape(b, c.image_token_len, c.hidden_size)
@@ -247,9 +254,11 @@ class CambrianLM(nn.Module):
         latent = latent.reshape(b, side, side, c.hidden_size)
         block = jnp.concatenate([latent, newline], axis=2)
         block = block.reshape(b, c.image_block_len, c.hidden_size)
-        return jax.vmap(
+        block = constrain(block, ("data", "fsdp"), None, None)
+        out = jax.vmap(
             lambda h, blk, st: jax.lax.dynamic_update_slice(h, blk, (st, 0))
         )(hidden, block, im_start)
+        return constrain(out, ("data", "fsdp"), None, None)
 
     # ------------------------------------------------------------------
     # decoder forward paths
@@ -297,11 +306,18 @@ class CambrianLM(nn.Module):
         also splices at the per-sample indicator)."""
         ids = jnp.where(input_ids < 0, 0, input_ids)
         embeds = self.embed_tokens(ids)
+        # Batch-pin both sides of the splice: the vocab-sharded embedding
+        # lookup otherwise propagates a hidden-dim sharding into the
+        # dynamic_update_slice, which the partitioner can only satisfy by
+        # full rematerialization of the image block.
+        embeds = constrain(embeds, ("data", "fsdp"), None, None)
         if image_embeds is not None:
             img = image_embeds.astype(embeds.dtype)
+            img = constrain(img, ("data", "fsdp"), None, None)
             embeds = jax.vmap(
                 lambda e, im, st: jax.lax.dynamic_update_slice(e, im, (st, 0))
             )(embeds, img, im_start)
+            embeds = constrain(embeds, ("data", "fsdp"), None, None)
         if self.cfg.model_type.startswith("gemma"):
             # gemma scales post-splice (HF applies the normalizer to whatever
             # inputs_embeds it is given, incl. the spliced multimodal embeds)

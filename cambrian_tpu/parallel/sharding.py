@@ -34,7 +34,12 @@ def _rule_for(path: str, shape: Tuple[int, ...]) -> P:
         return P("fsdp") if shape and shape[0] >= 8192 else P()
 
     if "embed_tokens" in path and path.endswith("embedding"):
-        return P("model", "fsdp")          # vocab-sharded embedding
+        # vocab over BOTH axes, hidden replicated: a hidden-sharded lookup
+        # output forces involuntary full remat at the image-splice DUS
+        # (partitioner cannot reshard hidden->batch efficiently); vocab-only
+        # sharding keeps the same memory footprint and lookups become
+        # masked-gather + psum, which GSPMD handles natively.
+        return P(("model", "fsdp"), None)
     if "lm_head" in path:
         return P("fsdp", "model")          # hidden -> vocab (column parallel)
     if any(k in path for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
@@ -85,3 +90,36 @@ def infer_param_shardings(params, mesh: Mesh):
 def shard_pytree(tree, shardings):
     """device_put a pytree according to its shardings tree."""
     return jax.tree.map(jax.device_put, tree, shardings)
+
+
+def constrain(x, *spec):
+    """``with_sharding_constraint`` that is safe to call from model code.
+
+    No-op when no mesh is active (single-chip tests/inference); drops axis
+    names the active mesh does not define and axes whose size does not divide
+    the constrained dimension. Used to pin activation shardings at boundaries
+    where the partitioner would otherwise pick layouts that force involuntary
+    full rematerialization (e.g. the in-decoder SVA latent-window slices).
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty:
+        return x
+
+    names = set(mesh.axis_names)
+
+    def fit(dim_i, axis):
+        if axis is None or dim_i >= x.ndim:
+            return None
+        axes = axis if isinstance(axis, tuple) else (axis,)
+        axes = tuple(a for a in axes if a in names)
+        if not axes:
+            return None
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        if x.shape[dim_i] % size != 0:
+            return None
+        return axes if len(axes) > 1 else axes[0]
+
+    fitted = [fit(i, a) for i, a in enumerate(spec)]
+    while len(fitted) < x.ndim:
+        fitted.append(None)
+    return jax.lax.with_sharding_constraint(x, P(*fitted))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from ..ops.activations import gelu_exact
 from ..ops.resize import resize_bilinear
 from ..parallel.sharding import constrain
 from .config import CambrianConfig
@@ -407,7 +408,7 @@ class _AuxProjector(nn.Module):
         shape = x.shape
         x = x.reshape(-1, shape[-1])  # one big GEMM (docs/PERF_NOTES.md)
         x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc2")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
         return x.reshape(*shape[:-1], x.shape[-1])
@@ -422,7 +423,7 @@ class _SvaProjector(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="fc2")(x)
 
 

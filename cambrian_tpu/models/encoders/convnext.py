@@ -16,6 +16,7 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.activations import gelu_exact
 from ...ops.resize import resize_bilinear
 
 
@@ -54,7 +55,7 @@ class ConvNeXtBlock(nn.Module):
         h = h.reshape(b * hh * ww, c)
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu_exact(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
         return x + (h * gamma.astype(h.dtype)).reshape(b, hh, ww, c)

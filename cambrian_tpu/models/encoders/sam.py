@@ -17,6 +17,7 @@ import numpy as np
 from flax import linen as nn
 
 from ...mm_utils import ImageProcessor
+from ...ops.activations import gelu_exact
 from .base import VisionTower, register_tower
 
 
@@ -146,7 +147,7 @@ class SamBlock(nn.Module):
         y = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c.hidden_size * c.mlp_ratio), dtype=self.dtype,
                      name="mlp_lin1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = gelu_exact(y)
         y = nn.Dense(c.hidden_size, dtype=self.dtype, name="mlp_lin2")(y)
         return x + y
 

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ...ops.activations import gelu_exact
+
 
 @dataclass(frozen=True)
 class ViTConfig:
@@ -69,7 +71,7 @@ def _activation(name: str):
     if name == "gelu_tanh":
         return lambda x: nn.gelu(x, approximate=True)
     if name == "gelu":
-        return lambda x: nn.gelu(x, approximate=False)
+        return gelu_exact
     raise ValueError(f"unknown activation {name}")
 
 

@@ -9,6 +9,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import gelu_exact
+
 
 class LinearProjector(nn.Module):
     hidden_size: int
@@ -28,7 +30,7 @@ class MlpGeluProjector(nn.Module):
     def __call__(self, x):
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc0")(x)
         for i in range(1, self.depth):
-            x = nn.gelu(x, approximate=False)
+            x = gelu_exact(x)
             x = nn.Dense(self.hidden_size, dtype=self.dtype, name=f"fc{i}")(x)
         return x
 
@@ -53,12 +55,12 @@ class SEMlpProjector(nn.Module):
         in_ch = x.shape[-1]
         g = jnp.mean(x, axis=1, keepdims=True)
         g = nn.Dense(in_ch, use_bias=False, dtype=self.dtype, name="se_fc1")(g)
-        g = nn.gelu(g, approximate=False)
+        g = gelu_exact(g)
         g = nn.Dense(in_ch, use_bias=False, dtype=self.dtype, name="se_fc2")(g)
         g = nn.sigmoid(g)
         x = x * g + x
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj_fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="proj_fc2")(x)
 
 

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.activations import gelu_exact
 from ..ops.attention import windowed_cross_attention
 
 # 2-D sincos positional-embedding helpers (vision_sampler.py:9-57); kept for
@@ -59,7 +60,7 @@ _LN_EPS = 1e-5
 
 
 def _gelu(x):
-    return nn.gelu(x, approximate=False)
+    return gelu_exact(x)
 
 
 def _flat(fn, x):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.activations import gelu_exact
+from ...ops.norms import StreamLayerNorm
 from ...ops.resize import resize_bilinear
 
 
@@ -53,7 +54,7 @@ class ConvNeXtBlock(nn.Module):
         # flat is ~20% faster end to end — docs/PERF_NOTES.md)
         b, hh, ww, c = h.shape
         h = h.reshape(b * hh * ww, c)
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm")(h)
+        h = StreamLayerNorm(epsilon=self.ln_eps, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = gelu_exact(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
@@ -74,13 +75,12 @@ class ConvNeXt(nn.Module):
         # stem: 4x4 s4 conv + LN
         x = nn.Conv(c.dims[0], kernel_size=(4, 4), strides=(4, 4), padding="VALID",
                     dtype=self.dtype, name="stem_conv")(x)
-        x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="stem_norm")(x)
+        x = StreamLayerNorm(epsilon=c.ln_eps, name="stem_norm")(x)
 
         stage_maps = []
         for s, (depth, dim) in enumerate(zip(c.depths, c.dims)):
             if s > 0:
-                x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype,
-                                 name=f"downsample_norm_{s}")(x)
+                x = StreamLayerNorm(epsilon=c.ln_eps, name=f"downsample_norm_{s}")(x)
                 x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, name=f"downsample_conv_{s}")(x)
             for b in range(depth):

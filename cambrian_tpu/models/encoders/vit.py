@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.activations import gelu_exact
+from ...ops.norms import StreamLayerNorm
 
 
 @dataclass(frozen=True)
@@ -122,13 +123,13 @@ class ViTBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="norm1")(x)
+        h = StreamLayerNorm(epsilon=c.ln_eps, name="norm1")(x)
         h = ViTAttention(c, dtype=self.dtype, name="attn")(h)
         if c.layer_scale:
             g1 = self.param("ls1_gamma", nn.initializers.ones, (c.hidden_size,), jnp.float32)
             h = h * g1.astype(h.dtype)
         x = x + h
-        h = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="norm2")(x)
+        h = StreamLayerNorm(epsilon=c.ln_eps, name="norm2")(x)
         h = ViTMlp(c, dtype=self.dtype, name="mlp")(h)
         if c.layer_scale:
             g2 = self.param("ls2_gamma", nn.initializers.ones, (c.hidden_size,), jnp.float32)
@@ -189,14 +190,14 @@ class VisionTransformer(nn.Module):
             x = x + pos.astype(x.dtype)
 
         if c.pre_layernorm:
-            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="pre_layernorm")(x)
+            x = StreamLayerNorm(epsilon=c.ln_eps, name="pre_layernorm")(x)
 
         n_run = c.num_blocks_to_run
         for i in range(n_run):
             x = ViTBlock(c, dtype=self.dtype, name=f"blocks_{i}")(x)
 
         if n_run == c.num_layers and c.final_layernorm:
-            x = nn.LayerNorm(epsilon=c.ln_eps, dtype=self.dtype, name="final_layernorm")(x)
+            x = StreamLayerNorm(epsilon=c.ln_eps, name="final_layernorm")(x)
 
         if c.select_feature == "patch" and c.num_prefix_tokens:
             x = x[:, c.num_prefix_tokens:]

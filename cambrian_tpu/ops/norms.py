@@ -140,3 +140,49 @@ class FusedLayerNorm(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
         return fused_layer_norm(x, scale, bias, self.epsilon)
+
+
+# ---------------------------------------------------------------------------
+# Streaming LayerNorm (jnp-level, no fp32 materialization)
+# ---------------------------------------------------------------------------
+
+
+def layer_norm_stream(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                      eps: float = 1e-6) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics that never materializes the fp32 input.
+
+    Plain flax LayerNorm makes XLA store the fp32-converted activations in
+    HBM (one consumer is the stats reduce, another the normalize epilogue):
+    ~25 ms/iter of pure f32 copies in the ConvNeXt tower at bs=8
+    (docs/PERF_NOTES.md round-2 profile). Here the stats are a single fused
+    pass over the bf16 input (convert folded into the reduce) and the
+    normalize re-converts behind an optimization_barrier, so its convert
+    cannot CSE with the stats convert and fuses into the consumer (usually a
+    GEMM prologue) reading bf16 from HBM.
+
+    Variance uses the one-pass E[x^2]-E[x]^2 form in fp32; for LN-scale
+    activations (|mean|/std well under 1e3) the cancellation error is far
+    below bf16 output resolution (tests/test_norms_stream.py asserts 1-ulp
+    agreement with the two-pass fp32 reference).
+    """
+    xf = x.astype(jnp.float32)
+    s1 = jnp.mean(xf, axis=-1, keepdims=True)
+    s2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + eps)
+    xn = jax.lax.optimization_barrier(x).astype(jnp.float32)
+    y = (xn - s1) * rstd * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+class StreamLayerNorm(nn.Module):
+    """Drop-in for nn.LayerNorm (same param names/shapes: scale, bias)."""
+
+    epsilon: float = 1e-6
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return layer_norm_stream(x, scale, bias, self.epsilon)

@@ -14,9 +14,21 @@ from collections import defaultdict
 
 
 def bucket(name: str) -> str:
-    n = name.lower()
+    # Use only the instruction name left of " = " — the full text includes
+    # operand names (copy-done, convert_element_type...) that pollute matching.
+    n = name.split(" = ")[0].lower()
+    kind = name.split(" = ")[1].split("(")[0] if " = " in name else ""
+    if re.match(r"%fusion", n):
+        # plain %fusion.N: look at the output kind + calls suffix
+        m = re.search(r"calls=%(\S+)", name)
+        callee = m.group(1).lower() if m else ""
+        for pat, b in [("convolution", "conv_fusion"), ("dot", "gemm_fusion"),
+                       ("copy", "copy_fusion"), ("transpose", "copy_fusion"),
+                       ("reduce", "reduce_fusion"), ("convert", "convert_fusion")]:
+            if pat in callee:
+                return b
+        return "fusion(gemm-like)"
     for pat, b in [
-        (r"fusion", None),  # refined below
         (r"convolution", "conv"),
         (r"dot|gemm", "gemm"),
         (r"copy|pad|transpose|reshape|bitcast", "copy/pad"),
@@ -24,19 +36,10 @@ def bucket(name: str) -> str:
         (r"reduce", "reduce"),
         (r"convert", "convert"),
         (r"all-reduce|all-gather|collective", "collective"),
+        (r"fusion", "named_fusion"),
     ]:
         if re.search(pat, n):
-            if pat == r"fusion":
-                if "convolution" in n:
-                    return "conv_fusion"
-                if "dot" in n or "gemm" in n:
-                    return "gemm_fusion"
-                if "convert" in n or "reduce" in n:
-                    return "convert/reduce_fusion"
-                if "copy" in n or "transpose" in n or "pad" in n:
-                    return "copy_fusion"
-                return "other_fusion"
-            return b
+            return f"{b}" if pat != r"fusion" else n.split(".")[0].lstrip("%")
     return "other"
 
 

@@ -75,7 +75,9 @@ def label_params(params, config: TrainConfig):
 
 
 def _schedule(peak_lr: float, config: TrainConfig):
-    warmup = max(1, int(config.warmup_ratio * config.total_steps))
+    # warmup may be 0 (HF semantics: lr(0) = peak). max(1, ...) here silently
+    # zeroed the first optimizer step of every warmup-free run.
+    warmup = int(config.warmup_ratio * config.total_steps)
     if config.lr_scheduler_type == "cosine":
         return optax.warmup_cosine_decay_schedule(
             0.0, peak_lr, warmup, max(config.total_steps, warmup + 1), end_value=0.0

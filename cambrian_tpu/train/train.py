@@ -134,6 +134,14 @@ def build_config(model_args: ModelArguments, data_args: DataArguments) -> Cambri
 
 def train(model_args: ModelArguments, data_args: DataArguments,
           training_args: TrainingArguments, tokenizer=None):
+    # Join the multi-host runtime (no-op single process / auto-detect on TPU
+    # pods) BEFORE any backend touch so jax.devices() is the global list.
+    from ..parallel.distributed import initialize_distributed
+
+    initialize_distributed(training_args.coordinator_address,
+                           training_args.num_processes,
+                           training_args.process_id)
+
     conversation_lib.default_conversation = conversation_lib.conv_templates[
         model_args.version
     ]

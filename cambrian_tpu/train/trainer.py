@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.dataset import LengthGroupedSampler
+from ..parallel.distributed import is_main_process, put_global_batch
 from ..parallel.mesh import MeshConfig, create_mesh
 from ..parallel.sharding import infer_param_shardings
 from .optimizer import TrainConfig
@@ -62,6 +63,11 @@ class TrainingArguments(TrainConfig):
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_model: int = 1
+    # multi-host (one process per TPU-VM worker; see parallel/distributed.py;
+    # all three optional — TPU pod slices auto-detect with no flags)
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     # resume
     train_continue: bool = False
     resume_from_checkpoint: Optional[str] = None
@@ -192,7 +198,7 @@ class CambrianTrainer:
     def _wandb_log(self, entry):
         """Optional wandb metrics (the reference logs via HF Trainer +
         wandb, cambrian_trainer.py:641-666); gated on the import."""
-        if self.args.report_to != "wandb":
+        if self.args.report_to != "wandb" or not is_main_process():
             return
         try:
             import wandb
@@ -209,7 +215,7 @@ class CambrianTrainer:
 
     def _gcs_sync(self):
         """Best-effort output-dir sync to GCS (GCloudRsyncCallback parity)."""
-        if not self.args.gcs_output_dir:
+        if not self.args.gcs_output_dir or not is_main_process():
             return
         try:
             import gcsfs
@@ -336,7 +342,7 @@ class CambrianTrainer:
                         else jnp.asarray(v))
                     for k, v in batch.items() if k != "labels" or True
                 }
-                return jax.device_put(batch, batch_sh)
+                return put_global_batch(batch, batch_sh)
 
             prefetcher = _Prefetcher(make_batch)
             history = []

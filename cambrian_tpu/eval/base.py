@@ -37,6 +37,11 @@ class Benchmark:
     metric_names: Sequence[str] = ("accuracy",)
     primary_metric: str = "accuracy"
     notes: str = ""
+    # HF dataset config name (e.g. InfographicVQA inside lmms-lab/DocVQA)
+    config: Optional[str] = None
+    # submission(records) -> JSON-serializable object for the benchmark's
+    # official external grader (e.g. the MM-Vet GPT-4 portal)
+    submission: Optional[Callable[[List[dict]], Any]] = None
 
 
 def register_benchmark(bench: Benchmark) -> Benchmark:
@@ -114,12 +119,88 @@ def extract_choice_letter(prediction: str, choices: Optional[Sequence[str]] = No
     return ""
 
 
+def _mcq_hit(r: dict) -> bool:
+    letter = extract_choice_letter(r["prediction"], r.get("choices"))
+    return letter.upper() == str(r["answer"]).strip().upper()
+
+
 def multiple_choice_accuracy(records: List[dict]) -> Dict[str, float]:
+    hits = [_mcq_hit(r) for r in records]
+    return {"accuracy": float(np.mean(hits)) if hits else 0.0}
+
+
+def _with_categories(records: List[dict], hits: List[bool]) -> Dict[str, float]:
+    """Overall accuracy plus per-category breakdown (reference
+    mmmu_test.py:53+ / seed category tables): 'acc/<category>' columns."""
+    out = {"accuracy": float(np.mean(hits)) if hits else 0.0}
+    cats: Dict[str, List[bool]] = {}
+    for r, h in zip(records, hits):
+        cat = r.get("category")
+        if cat:
+            cats.setdefault(str(cat), []).append(h)
+    for cat in sorted(cats):
+        out[f"acc/{cat}"] = float(np.mean(cats[cat]))
+    return out
+
+
+def multiple_choice_accuracy_by_category(records: List[dict]) -> Dict[str, float]:
+    return _with_categories(records, [_mcq_hit(r) for r in records])
+
+
+_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
+
+
+def _open_candidates(prediction: str) -> set:
+    """Candidate answer spans from a free-form response (the shape of the
+    reference MMMU repo's parse_open_response): the whole normalized text,
+    the final line, a trailing 'answer is X' span, and every number."""
+    p = prediction.strip()
+    cands = {normalize_answer(p)}
+    lines = [ln for ln in p.splitlines() if ln.strip()]
+    if lines:
+        cands.add(normalize_answer(lines[-1]))
+    m = re.search(r"(?:answer is|answer:|final answer[:\s]*)\s*([^\n.]+)",
+                  p, re.IGNORECASE)
+    if m:
+        cands.add(normalize_answer(m.group(1)))
+    for num in _NUM_RE.findall(p):
+        cands.add(num)
+        try:
+            cands.add(f"{float(num):g}")
+        except ValueError:
+            pass
+    cands.discard("")
+    return cands
+
+
+def open_response_correct(prediction: str, gold) -> bool:
+    golds = gold if isinstance(gold, (list, tuple)) else [gold]
+    cands = _open_candidates(prediction)
+    for g in golds:
+        gn = normalize_answer(str(g))
+        if gn and gn in cands:
+            return True
+        try:
+            if f"{float(str(g)):g}" in cands:
+                return True
+        except ValueError:
+            pass
+    return False
+
+
+def mmmu_score(records: List[dict]) -> Dict[str, float]:
+    """MMMU mixed scoring (reference eval/eval/mmmu/mmmu_test.py): MCQ rows by
+    extracted letter, open rows by exact match over extracted candidate
+    spans; per-subject breakdown from the record category."""
     hits = []
     for r in records:
-        letter = extract_choice_letter(r["prediction"], r.get("choices"))
-        hits.append(letter.upper() == str(r["answer"]).strip().upper())
-    return {"accuracy": float(np.mean(hits)) if hits else 0.0}
+        if r.get("question_type", "multiple-choice") == "multiple-choice" \
+                and r.get("choices"):
+            hits.append(_mcq_hit(r))
+        else:
+            hits.append(open_response_correct(
+                r["prediction"], r.get("answers") or r.get("answer", "")))
+    return _with_categories(records, hits)
 
 
 def circular_multiple_choice_accuracy(records: List[dict]) -> Dict[str, float]:

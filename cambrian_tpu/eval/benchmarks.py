@@ -17,7 +17,9 @@ from .base import (
     contains_match,
     exact_match,
     mme_score,
+    mmmu_score,
     multiple_choice_accuracy,
+    multiple_choice_accuracy_by_category,
     normalized_edit_similarity,
     register_benchmark,
     relaxed_accuracy,
@@ -146,19 +148,41 @@ register_benchmark(Benchmark(
     notes="SQA-IMG subset when filtered to rows with images",
 ))
 
+def _mcq_prompt_with_category(record) -> dict:
+    """MCQ prompt carrying the record's category/subtask for the per-category
+    accuracy tables (reference seed/blink *_test.py report per-type rows)."""
+    out = _mcq_prompt(record)
+    cat = _get(record, "question_type", "category", "sub_task", "subtask",
+               "data_type", default=None)
+    if cat is not None:
+        out["category"] = str(cat)
+    return out
+
+
 for _name, _ds, _split in [
-    ("seed", "lmms-lab/SEED-Bench", "test"),
     ("ai2d", "lmms-lab/ai2d", "test"),
     ("mmstar", "Lin-Chen/MMStar", "val"),
     ("realworldqa", "xai-org/RealworldQA", "test"),
     ("qbench", "q-future/Q-Bench-HF", "dev"),
-    ("blink", "BLINK-Benchmark/BLINK", "val"),
     ("mmvp", "MMVP/MMVP", "test"),
     ("vstar", "craigwu/vstar_bench", "test"),
 ]:
     register_benchmark(Benchmark(
         name=_name, dataset=_ds, split=_split,
         build_prompt=_mcq_prompt, score=multiple_choice_accuracy,
+    ))
+
+# SEED/BLINK report per-category accuracy alongside the headline number
+# (reference seed_test.py / blink question-type tables)
+for _name, _ds, _split in [
+    ("seed", "lmms-lab/SEED-Bench", "test"),
+    ("blink", "BLINK-Benchmark/BLINK", "val"),
+]:
+    register_benchmark(Benchmark(
+        name=_name, dataset=_ds, split=_split,
+        build_prompt=_mcq_prompt_with_category,
+        score=multiple_choice_accuracy_by_category,
+        notes="per-category acc/<name> rows accompany the headline accuracy",
     ))
 
 # MMBench EN/CN: CircularEval over the rotated dev-set copies (official
@@ -180,29 +204,55 @@ for _name in ["ade", "coco", "omni"]:
         notes=f"CV-Bench {_name} split",
     ))
 
+def _mmmu_category(record) -> Optional[str]:
+    """Subject from the MMMU row id 'validation_Art_Theory_12' -> 'Art_Theory'
+    (reference mmmu_test.py groups by this subject)."""
+    rid = str(_get(record, "id", "question_id", default=""))
+    parts = rid.split("_")
+    if len(parts) >= 3:
+        return "_".join(parts[1:-1])
+    return _get(record, "subfield", "category", default=None)
+
+
+def _mmmu_prompt(record) -> dict:
+    qtype = _get(record, "question_type", default="multiple-choice")
+    out = _mcq_prompt(record) if qtype == "multiple-choice" \
+        else _open_prompt(record)
+    out["question_type"] = qtype
+    # open rows may carry a list of acceptable golds
+    ans = _get(record, "answer", "label", default=out.get("answer"))
+    if isinstance(ans, (list, tuple)):
+        out["answers"] = [str(a) for a in ans]
+        out["answer"] = str(ans[0]) if ans else ""
+    cat = _mmmu_category(record)
+    if cat:
+        out["category"] = cat
+    return out
+
+
 register_benchmark(Benchmark(
     name="mmmu", dataset="lmms-lab/MMMU", split="validation",
-    build_prompt=lambda r: (
-        _mcq_prompt(r) if _get(r, "question_type", default="multiple-choice")
-        == "multiple-choice" else _open_prompt(r)
-    ),
-    score=multiple_choice_accuracy,
-    notes="open-ended MMMU rows scored by exact match on the extracted span",
+    build_prompt=_mmmu_prompt,
+    score=mmmu_score,
+    notes="MCQ by extracted letter; open rows by exact match over extracted "
+          "candidate spans; per-subject acc/<name> rows",
 ))
 
 # --- document / OCR family ---------------------------------------------------
 
 register_benchmark(Benchmark(
-    name="docvqa", dataset="lmms-lab/DocVQA", split="validation",
+    name="docvqa", dataset="lmms-lab/DocVQA", config="DocVQA",
+    split="validation",
     build_prompt=_short_prompt, score=anls,
     metric_names=("anls",), primary_metric="anls",
 ))
 
 register_benchmark(Benchmark(
-    name="infovqa", dataset="lmms-lab/DocVQA", split="validation",
+    name="infovqa", dataset="lmms-lab/DocVQA", config="InfographicVQA",
+    split="validation",
     build_prompt=_short_prompt, score=anls,
     metric_names=("anls",), primary_metric="anls",
-    notes="InfographicVQA config of the DocVQA dataset",
+    notes="InfographicVQA config of the lmms-lab/DocVQA dataset",
 ))
 
 register_benchmark(Benchmark(
@@ -234,10 +284,29 @@ register_benchmark(Benchmark(
 
 # --- open-ended / judged family -----------------------------------------------
 
+def _mmvet_prompt(record) -> dict:
+    out = _open_prompt(record)
+    # official ids look like "v1_0" (mmvet_test.py keys the submission on them)
+    out["submission_id"] = str(_get(record, "id", "question_id", default=""))
+    return out
+
+
+def _mmvet_submission(records: List[dict]) -> Dict[str, str]:
+    """{id: raw prediction} for the official MM-Vet GPT-4 grader portal —
+    the reference's real scoring product (eval/eval/mmvet/mmvet_test.py:35-38);
+    the rule-based score below is only a local proxy."""
+    return {
+        str(r.get("submission_id") or r.get("question_id")): r["prediction"]
+        for r in records
+    }
+
+
 register_benchmark(Benchmark(
     name="mmvet", dataset="lmms-lab/MMVet", split="test",
-    build_prompt=_open_prompt, score=contains_match,
-    notes="reference scores MM-Vet with a GPT-4 judge; rule-based proxy here",
+    build_prompt=_mmvet_prompt, score=contains_match,
+    submission=_mmvet_submission,
+    notes="reference scores MM-Vet with a GPT-4 judge; rule-based proxy here "
+          "+ official {model}_mmvet_submission.json artifact",
 ))
 
 register_benchmark(Benchmark(

@@ -51,6 +51,9 @@ def load_benchmark_dataset(benchmark, dataset_path: Optional[str] = None,
         return ds
     import datasets
 
+    if benchmark.config:
+        return datasets.load_dataset(benchmark.dataset, benchmark.config,
+                                     split=split)
     return datasets.load_dataset(benchmark.dataset, split=split)
 
 
@@ -129,7 +132,8 @@ def run_benchmark(benchmark_name: str, model_bundle, conv_mode: str,
                 "answer": prompt_dict.get("answer"),
                 "benchmark": benchmark_name,
             }
-            for extra in ("choices", "answers", "image_id", "category"):
+            for extra in ("choices", "answers", "image_id", "category",
+                          "question_type", "submission_id"):
                 if prompt_dict.get(extra) is not None:
                     row[extra] = prompt_dict[extra]
             out.write(json.dumps(row) + "\n")

@@ -30,6 +30,26 @@ def score_answers(benchmark_name: str, answers_file: str) -> Dict[str, float]:
     return benchmark.score(load_answers(answers_file))
 
 
+def write_submission(benchmark_name: str, answers_file: str, model_id: str,
+                     submission_dir: Optional[str] = None) -> Optional[str]:
+    """Emit the benchmark's official external-grader artifact (e.g.
+    ``{model}_mmvet_submission.json`` for the MM-Vet GPT-4 portal — reference
+    eval/eval/mmvet/mmvet_test.py:35-38). Returns the path, or None when the
+    benchmark has no submission format."""
+    benchmark = BENCHMARKS[benchmark_name]
+    if benchmark.submission is None:
+        return None
+    obj = benchmark.submission(load_answers(answers_file))
+    out_dir = submission_dir or os.path.dirname(os.path.abspath(answers_file))
+    os.makedirs(out_dir, exist_ok=True)
+    safe_model = model_id.replace("/", "_")
+    path = os.path.join(out_dir,
+                        f"{safe_model}_{benchmark_name}_submission.json")
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2)
+    return path
+
+
 def append_experiment_row(csv_file: str, model_id: str, benchmark_name: str,
                           metrics: Dict[str, float], timestamp: Optional[str] = None):
     benchmark = BENCHMARKS[benchmark_name]
@@ -54,11 +74,18 @@ def main():
     parser.add_argument("--answers_file", required=True)
     parser.add_argument("--model_id", required=True)
     parser.add_argument("--experiment_csv", default="experiments.csv")
+    parser.add_argument("--submission_dir", default=None,
+                        help="where official grader artifacts land "
+                             "(default: next to the answers file)")
     args = parser.parse_args()
 
     metrics = score_answers(args.benchmark, args.answers_file)
     append_experiment_row(args.experiment_csv, args.model_id, args.benchmark,
                           metrics)
+    sub = write_submission(args.benchmark, args.answers_file, args.model_id,
+                           args.submission_dir)
+    if sub:
+        print(json.dumps({"submission_file": sub}))
     print(json.dumps({"benchmark": args.benchmark, **metrics}))
 
 

@@ -74,3 +74,64 @@ def test_build_prompt_and_score(name):
                for m in (metrics, metrics_wrong))
     # the correct prediction must not score WORSE than the wrong one
     assert metrics[bench.primary_metric] >= metrics_wrong[bench.primary_metric], name
+
+
+def test_mmmu_open_row_and_categories():
+    bench = BENCHMARKS["mmmu"]
+    open_rec = {"id": "validation_Art_Theory_3", "question": "How many?",
+                "answer": ["3", "three"], "image": _img(),
+                "question_type": "open"}
+    prompt = bench.build_prompt(dict(open_rec))
+    assert prompt["question_type"] == "open"
+    assert prompt["category"] == "Art_Theory"
+    rows = [
+        {**{k: v for k, v in prompt.items() if k != "image"},
+         "prediction": "I think the answer is 3."},
+        {**{k: v for k, v in prompt.items() if k != "image"},
+         "prediction": "there are seven", "category": "Math"},
+    ]
+    metrics = bench.score(rows)
+    assert metrics["accuracy"] == 0.5
+    assert metrics["acc/Art_Theory"] == 1.0
+    assert metrics["acc/Math"] == 0.0
+
+
+def test_seed_blink_category_columns():
+    for name in ("seed", "blink"):
+        bench = BENCHMARKS[name]
+        rec = {"question": "What color?", "choices": ["red", "green"],
+               "answer": "A", "image": _img(), "question_type": "Scene Understanding"}
+        prompt = bench.build_prompt(dict(rec))
+        assert prompt["category"] == "Scene Understanding"
+        row = {**{k: v for k, v in prompt.items() if k != "image"},
+               "prediction": "A"}
+        metrics = bench.score([row])
+        assert metrics["accuracy"] == 1.0
+        assert metrics["acc/Scene Understanding"] == 1.0
+
+
+def test_mmvet_submission_artifact(tmp_path):
+    import json
+
+    from cambrian_tpu.eval.score import write_submission
+
+    bench = BENCHMARKS["mmvet"]
+    rec = {"id": "v1_0", "question": "Describe.", "answer": "a red square",
+           "image": _img()}
+    prompt = bench.build_prompt(dict(rec))
+    assert prompt["submission_id"] == "v1_0"
+    answers = tmp_path / "answers.jsonl"
+    row = {**{k: v for k, v in prompt.items() if k != "image"},
+           "prediction": "a red square on white", "question_id": "v1_0"}
+    answers.write_text(json.dumps(row) + "\n")
+    path = write_submission("mmvet", str(answers), "mymodel", str(tmp_path))
+    assert path.endswith("mymodel_mmvet_submission.json")
+    obj = json.loads(open(path).read())
+    assert obj == {"v1_0": "a red square on white"}
+    # benchmarks without a submission format return None
+    assert write_submission("gqa", str(answers), "mymodel", str(tmp_path)) is None
+
+
+def test_infovqa_distinct_dataset_config():
+    assert BENCHMARKS["infovqa"].config == "InfographicVQA"
+    assert BENCHMARKS["docvqa"].config == "DocVQA"

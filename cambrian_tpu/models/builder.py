@@ -260,19 +260,19 @@ def load_pretrained_model(
 ):
     """(tokenizer, model, image_processor_list, context_len) — reference
     model/builder.py:29-173 semantics on the JAX stack."""
-    if load_8bit or load_4bit:
-        # int8 weight-only kernels exist (ops/quant.py: quantize_params +
-        # Pallas dequant matmul) but are not yet threaded through the decoder
-        # modules; failing loudly beats silently serving bf16 weights.
+    if load_4bit:
         raise NotImplementedError(
-            "load_8bit/load_4bit quantized loading is not wired into the "
-            "decoder yet (see ROADMAP.md); use dtype=jnp.bfloat16, or "
-            "cambrian_tpu.ops.quant for standalone weight quantization.")
+            "load_4bit is not supported; use load_8bit (weight-only int8 "
+            "decoder GEMMs via the Pallas dequant matmul, ops/quant.py).")
     from transformers import AutoTokenizer
 
     from ..checkpoint.hf_llm import convert_cambrian
 
     config = load_config(model_path)
+    if load_8bit:
+        # weight-only int8 decoder GEMMs (reference builder.py:35-44 loads
+        # bitsandbytes int8 linears; lm_head/embeddings stay full precision)
+        config = config.replace(quantize="int8")
     towers = build_vision_tower_aux_list(
         config.mm_vision_tower_aux_list,
         config.mm_vision_tower_aux_token_len_list,
@@ -282,6 +282,13 @@ def load_pretrained_model(
 
     sd = _load_state_dict(model_path)
     params = {"params": jax.tree.map(jnp.asarray, convert_cambrian(sd, config))}
+    if load_8bit:
+        from ..ops.quant import quantize_dense_tree
+
+        layers = params["params"]
+        for name in list(layers):
+            if name.startswith("layers_"):
+                layers[name] = quantize_dense_tree(layers[name])
     tower_params = [load_tower_params(t, jax.random.PRNGKey(i))
                     for i, t in enumerate(towers)]
 

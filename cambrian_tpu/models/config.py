@@ -73,6 +73,8 @@ class CambrianConfig:
     param_dtype: str = "float32"       # master parameter dtype
     remat: bool = True                 # gradient checkpointing via jax.checkpoint
     scan_layers: bool = False          # lax.scan over decoder layers (uniform stacks)
+    quantize: Optional[str] = None     # "int8": weight-only quantized decoder
+                                       # GEMMs (ops/quant.py, load_8bit path)
 
     def __post_init__(self):
         if self.head_dim is None:

@@ -24,7 +24,18 @@ from flax import linen as nn
 
 from ...ops.attention import dot_product_attention
 from ...ops.norms import rms_norm
+from ...ops.quant import DECODER_QUANT_TARGETS, QuantDense
 from ..config import CambrianConfig
+
+
+def decoder_dense(cfg: CambrianConfig, features: int, use_bias: bool,
+                  dtype, name: str):
+    """nn.Dense, or QuantDense over int8 weights when cfg.quantize == "int8"
+    and the site is a decoder GEMM target (the load_8bit serving path —
+    reference model/builder.py:35-44 via bitsandbytes)."""
+    if cfg.quantize == "int8" and name in DECODER_QUANT_TARGETS:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 
 class RMSNorm(nn.Module):
@@ -162,9 +173,9 @@ class LlamaAttention(nn.Module):
         h, kvh, d = c.num_attention_heads, c.num_key_value_heads, c.head_dim
         bias = c.attention_bias
 
-        q = nn.Dense(h * d, use_bias=bias, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(kvh * d, use_bias=bias, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(kvh * d, use_bias=bias, dtype=self.dtype, name="v_proj")(x)
+        q = decoder_dense(c, h * d, bias, self.dtype, "q_proj")(x)
+        k = decoder_dense(c, kvh * d, bias, self.dtype, "k_proj")(x)
+        v = decoder_dense(c, kvh * d, bias, self.dtype, "v_proj")(x)
         q = q.reshape(b, s, h, d)
         k = k.reshape(b, s, kvh, d)
         v = v.reshape(b, s, kvh, d)
@@ -223,7 +234,7 @@ class LlamaAttention(nn.Module):
             out = dot_product_attention(
                 q, k, v, mask.dense(s, k.shape[1], c.sliding_window))
         out = out.reshape(b, s, h * d)
-        out = nn.Dense(c.hidden_size, use_bias=bias, dtype=self.dtype, name="o_proj")(out)
+        out = decoder_dense(c, c.hidden_size, bias, self.dtype, "o_proj")(out)
         return out, new_cache
 
 
@@ -235,18 +246,18 @@ class LlamaMlp(nn.Module):
     def __call__(self, x):
         c = self.cfg
         bias = c.mlp_bias
-        gate = nn.Dense(c.intermediate_size, use_bias=bias, dtype=self.dtype,
-                        name="gate_proj")(x)
-        up = nn.Dense(c.intermediate_size, use_bias=bias, dtype=self.dtype,
-                      name="up_proj")(x)
+        gate = decoder_dense(c, c.intermediate_size, bias, self.dtype,
+                             "gate_proj")(x)
+        up = decoder_dense(c, c.intermediate_size, bias, self.dtype,
+                           "up_proj")(x)
         if c.hidden_act == "silu":
             act = nn.silu(gate)
         elif c.hidden_act in ("gelu_pytorch_tanh", "gelu_tanh"):
             act = nn.gelu(gate, approximate=True)
         else:
             act = nn.gelu(gate, approximate=False)
-        return nn.Dense(c.hidden_size, use_bias=bias, dtype=self.dtype,
-                        name="down_proj")(act * up)
+        return decoder_dense(c, c.hidden_size, bias, self.dtype,
+                             "down_proj")(act * up)
 
 
 class LlamaDecoderLayer(nn.Module):

@@ -16,6 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import linen as nn
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -107,3 +108,75 @@ def quantize_params(params, targets=("q_proj", "k_proj", "v_proj", "o_proj",
 
     qtree = jax.tree_util.tree_map_with_path(maybe_quant, params)
     return qtree, scales
+
+
+def _pick_block_m(m: int) -> int:
+    # decode steps have tiny M; don't pad 4 rows to a 256-row tile
+    return min(256, max(8, _round_up(m, 8)))
+
+
+class QuantDense(nn.Module):
+    """Dense layer over int8 weights with per-output-channel fp32 scales.
+
+    Drop-in for nn.Dense when ``config.quantize == "int8"`` (the load_8bit
+    serving path; reference loads bitsandbytes int8 linears,
+    model/builder.py:35-44). Params: ``kernel_q`` int8 [K, N], ``scale`` fp32
+    [N], optional ``bias``. ``ops.quant.quantize_dense_tree`` converts a
+    bf16/fp32 checkpoint tree in place.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        k = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (k, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        shape = x.shape
+        x2 = x.reshape(-1, k)
+        if x2.dtype not in (jnp.bfloat16, jnp.float32):
+            x2 = x2.astype(self.dtype)
+        y = int8_matmul(x2, kernel_q, scale, block_m=_pick_block_m(x2.shape[0]))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y.reshape(*shape[:-1], self.features)
+
+
+# bnb's load_in_8bit skips lm_head by default (llm_int8_skip_modules);
+# embed/lm_head stay full precision here too.
+DECODER_QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
+                         "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_dense_tree(params, targets=DECODER_QUANT_TARGETS):
+    """Convert matching ``{...: {"kernel": w}}`` subtrees of a params tree to
+    the QuantDense layout ``{"kernel_q": int8, "scale": fp32}`` (bias kept).
+    Returns a new tree; non-matching leaves are untouched."""
+    import numpy as np
+
+    def walk(tree, path):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for name, sub in tree.items():
+            if (
+                isinstance(sub, dict) and "kernel" in sub
+                and getattr(sub["kernel"], "ndim", 0) == 2
+                and any(t == name for t in targets)
+            ):
+                q, s = quantize_int8(jnp.asarray(sub["kernel"]))
+                new = {"kernel_q": q, "scale": s}
+                if "bias" in sub:
+                    new["bias"] = jnp.asarray(sub["bias"], jnp.float32)
+                out[name] = new
+            else:
+                out[name] = walk(sub, path + (name,))
+        return out
+
+    return walk(params, ())

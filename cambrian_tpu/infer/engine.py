@@ -32,6 +32,11 @@ class GenerationConfig:
     eos_token_id: Optional[int] = None
     pad_token_id: int = 0
     seed: int = 0
+    # streaming: tokens decoded per device dispatch (generate_stream). Each
+    # host round trip costs ~30 ms on tunneled chips and one dispatch on any
+    # chip; chunking amortizes it while keeping incremental text. 1 = legacy
+    # per-token streaming.
+    stream_chunk: int = 8
 
 
 def sample_token(logits: jnp.ndarray, rng, temperature: float, top_p: float):
@@ -77,6 +82,7 @@ class GenerationEngine:
         self._step = jax.jit(self._step_impl)
         self._encode = jax.jit(self._encode_impl)
         self._on_device_fns = {}
+        self._chunk_fns = {}
 
     def init_cache(self, batch: int, k_len: int):
         cache = init_kv_cache(self.model.cfg, batch, k_len, self.cache_dtype)
@@ -167,6 +173,44 @@ class GenerationEngine:
         tokens, *_ = jax.lax.fori_loop(0, max_new_tokens, body, carry)
         return tokens
 
+    def _decode_chunk_impl(self, params, next_logits, cache, cache_valid,
+                           next_pos, base_index, finished, rng, *, chunk,
+                           temperature, top_p, eos_token_id, pad_token_id):
+        """``chunk`` decode steps as ONE compiled program (serving streaming:
+        amortizes the per-step dispatch without giving up incremental text).
+
+        ``base_index``: dynamic cache write offset of the chunk's first token
+        (prompt length + tokens already generated) — dynamic so every chunk
+        reuses one compiled program.
+        """
+
+        def body(j, carry):
+            tokens, next_logits, cache, cache_valid, finished, rng = carry
+            rng, sub = jax.random.split(rng)
+            token = sample_token(next_logits, sub, temperature, top_p).astype(
+                jnp.int32)
+            if eos_token_id is not None:
+                finished = finished | (token == eos_token_id)
+            tokens = tokens.at[:, j].set(
+                jnp.where(finished, pad_token_id, token))
+            write_index = base_index + j
+            cache_valid = cache_valid.at[:, write_index].set(~finished)
+            window = self.model.cfg.sliding_window
+            if window is not None:
+                k_len = cache_valid.shape[1]
+                keep = jnp.arange(k_len)[None, :] > (write_index - window)
+                cache_valid = cache_valid & keep
+            next_logits, cache = self.model.apply(
+                params, token[:, None], (next_pos + j)[:, None], cache,
+                cache_valid, write_index, method=CambrianLM.decode_step,
+            )
+            return tokens, next_logits, cache, cache_valid, finished, rng
+
+        b = next_logits.shape[0]
+        tokens0 = jnp.full((b, chunk), pad_token_id, jnp.int32)
+        carry = (tokens0, next_logits, cache, cache_valid, finished, rng)
+        return jax.lax.fori_loop(0, chunk, body, carry)
+
     # -- public API ---------------------------------------------------------
 
     def encode_images(self, tower_params, images):
@@ -240,7 +284,10 @@ class GenerationEngine:
         model_worker.py:170-196 semantics)."""
         cfg = config or GenerationConfig()
         b, s = input_ids.shape
-        k_len = min(self.max_len, s + cfg.max_new_tokens)
+        chunk = max(1, int(cfg.stream_chunk))
+        # round the cache up to whole chunks so chunked writes never overflow
+        n_new = -(-cfg.max_new_tokens // chunk) * chunk
+        k_len = min(self.max_len, s + n_new)
 
         cache = self.init_cache(b, k_len)
         logits, cache = self._prefill(
@@ -259,6 +306,36 @@ class GenerationEngine:
         next_pos = jnp.asarray(position_ids.max(axis=1) + 1, jnp.int32)
         cache_valid = jnp.zeros((b, k_len), dtype=bool)
         cache_valid = cache_valid.at[:, :s].set(jnp.asarray(attention_mask))
+
+        if chunk > 1:
+            import functools
+
+            key = (chunk, cfg.temperature, cfg.top_p, cfg.eos_token_id,
+                   cfg.pad_token_id)
+            if key not in self._chunk_fns:
+                self._chunk_fns[key] = jax.jit(functools.partial(
+                    self._decode_chunk_impl, chunk=chunk,
+                    temperature=cfg.temperature, top_p=cfg.top_p,
+                    eos_token_id=cfg.eos_token_id,
+                    pad_token_id=cfg.pad_token_id,
+                ))
+            finished_dev = jnp.zeros((b,), bool)
+            cols: List[np.ndarray] = []
+            t = 0
+            while t < cfg.max_new_tokens and s + t < k_len:
+                (tokens, next_logits, cache, cache_valid, finished_dev,
+                 rng) = self._chunk_fns[key](
+                    self.params, next_logits, cache, cache_valid,
+                    next_pos + t, jnp.int32(s + t), finished_dev, rng)
+                cols.append(np.asarray(tokens))
+                t += chunk
+                cum = np.concatenate(cols, axis=1)[:, :cfg.max_new_tokens]
+                yield cum
+                if np.asarray(finished_dev).all():
+                    return
+                if stopping is not None and stopping(cum):
+                    return
+            return
 
         tokens_out: List[np.ndarray] = []
         finished = np.zeros(b, dtype=bool)

@@ -205,6 +205,7 @@ class CambrianForInference:
                 "eos_token_id",
                 getattr(self.tokenizer, "eos_token_id", None) or self.config.eos_token_id,
             ),
+            stream_chunk=gen_kwargs.get("stream_chunk", 8),
         )
         return pids, pmask, ppos, feats, aux_masks, cfg
 

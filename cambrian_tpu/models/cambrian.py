@@ -270,6 +270,11 @@ class CambrianLM(nn.Module):
                  im_start=None):
         c = self.cfg
         inject_layers = set(c.vision_sampler_layer_indices) if inject else set()
+        if c.scan_layers and not self.is_initializing():
+            return self._decoder_scanned(hidden, mask, position_ids, cache,
+                                         cache_index, vision_kv, vision_masks,
+                                         global_context, inject_layers,
+                                         im_start)
         new_cache = [] if cache is not None else None
         for i, layer in enumerate(self.layers):
             layer_cache = None if cache is None else cache[i]
@@ -282,6 +287,89 @@ class CambrianLM(nn.Module):
                                           global_context, im_start)
         hidden = self.norm(hidden)
         return hidden, (tuple(new_cache) if new_cache is not None else None)
+
+    def _decoder_scanned(self, hidden, mask, position_ids, cache, cache_index,
+                         vision_kv, vision_masks, global_context,
+                         inject_layers, im_start):
+        """scan_layers path: ``jax.lax.scan`` over the uniform decoder-layer
+        runs between SVA injection points — one compiled layer body per run
+        length instead of num_hidden_layers inlined copies (compile time at
+        34B/60-layer scale; VERDICT r1 item 7). Per-layer params keep their
+        ``layers_i`` names (checkpoints/shardings untouched): the run's
+        subtrees are stacked at trace time and scanned over.
+
+        Math-identical to the unrolled loop (tests/test_scan_layers.py
+        asserts exact logits)."""
+        c = self.cfg
+
+        # uniform runs [lo, hi) between injection points
+        runs = []
+        lo = 0
+        for i in range(c.num_hidden_layers):
+            if i in inject_layers:
+                runs.append((lo, i + 1, i))
+                lo = i + 1
+        if lo < c.num_hidden_layers:
+            runs.append((lo, c.num_hidden_layers, None))
+
+        new_cache = [None] * c.num_hidden_layers if cache is not None else None
+        for lo, hi, inj in runs:
+            hidden, run_cache = self._scan_run(hidden, mask, position_ids,
+                                               cache, cache_index, lo, hi)
+            if cache is not None:
+                new_cache[lo:hi] = run_cache
+            if inj is not None:
+                k = ((inj - c.start_of_vision_sampler_layers)
+                     // c.stride_of_vision_sampler_layers)
+                hidden = self._inject_sva(k, hidden, vision_kv, vision_masks,
+                                          global_context, im_start)
+        hidden = self.norm(hidden)
+        return hidden, (tuple(new_cache) if new_cache is not None else None)
+
+    def _scan_run(self, hidden, mask, position_ids, cache, cache_index,
+                  lo: int, hi: int):
+        c = self.cfg
+        if hi - lo == 1:
+            out, lc = self.layers[lo](hidden, mask, position_ids,
+                                      None if cache is None else cache[lo],
+                                      cache_index)
+            return out, [lc]
+
+        stacked_params = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[self.layers[i].variables["params"] for i in range(lo, hi)],
+        )
+        # parent=None: a detached functional module (not a child of this one);
+        # it is applied with each scanned layer's params explicitly
+        body_mod = LlamaDecoderLayer(c, dtype=self.dtype, parent=None)
+
+        if cache is None:
+            def body(h, lp):
+                out, _ = body_mod.apply({"params": lp}, h, mask,
+                                        position_ids, None, None)
+                return out, None
+
+            if c.remat:
+                body = jax.checkpoint(body, prevent_cse=False)
+            hidden, _ = jax.lax.scan(body, hidden, stacked_params)
+            return hidden, None
+
+        stacked_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *cache[lo:hi])
+
+        def body_c(h, xs):
+            lp, lc = xs
+            out, new_lc = body_mod.apply({"params": lp}, h, mask,
+                                         position_ids, lc, cache_index)
+            return out, new_lc
+
+        if c.remat:
+            body_c = jax.checkpoint(body_c, prevent_cse=False)
+        hidden, new_stacked = jax.lax.scan(body_c, hidden,
+                                           (stacked_params, stacked_cache))
+        run_cache = [
+            jax.tree.map(lambda x: x[i], new_stacked) for i in range(hi - lo)
+        ]
+        return hidden, run_cache
 
     def _logits(self, hidden):
         if self.cfg.tie_word_embeddings:

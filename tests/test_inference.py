@@ -78,3 +78,38 @@ def test_generate_respects_eos(checkpoint):
     ids = np.asarray(tokenizer("a cat sat").input_ids, dtype=np.int32)
     out = model.generate(ids, max_new_tokens=1, eos_token_id=tokenizer.eos_token_id)
     assert out.shape == (1, 1)
+
+
+def test_chunked_stream_matches_per_token(engine_fixture=None):
+    """stream_chunk>1 must produce the same greedy tokens as per-token
+    streaming (VERDICT r1 item 8: on-device chunked serving decode)."""
+    import numpy as np
+
+    import __graft_entry__
+    from cambrian_tpu.infer.engine import GenerationConfig, GenerationEngine
+
+    cfg, model, towers, params, tower_params, batch = __graft_entry__._build(
+        num_towers=1, batch=2)
+    feats = [t.apply(tp, px)
+             for t, tp, px in zip(towers, tower_params, batch["images"])]
+
+    engine = GenerationEngine(model, params, towers=towers, max_len=128)
+    args = (np.asarray(batch["input_ids"]), np.asarray(batch["attention_mask"]),
+            np.asarray(batch["position_ids"]))
+
+    def run(stream_chunk):
+        out = None
+        yields = 0
+        for out in engine.generate_stream(
+                *args, aux_features=feats, aux_masks=batch["aux_masks"],
+                config=GenerationConfig(max_new_tokens=11, temperature=0.0,
+                                        stream_chunk=stream_chunk)):
+            yields += 1
+        return out, yields
+
+    per_token, n1 = run(1)
+    chunked, n4 = run(4)
+    assert per_token.shape[1] == 11
+    assert chunked.shape[1] == 11
+    assert n4 < n1  # 3 chunk dispatches vs 11 per-token dispatches
+    np.testing.assert_array_equal(per_token, chunked)

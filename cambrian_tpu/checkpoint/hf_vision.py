@@ -208,6 +208,124 @@ def convert_dinov2(sd: Dict[str, np.ndarray], cfg: ViTConfig,
     return params
 
 
+def convert_dpt_vit(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
+    """MiDaS DPT backbones -> VisionTransformer params
+    (reference midas_encoder.py:69-83 loads DPTForDepthEstimation and taps
+    hidden_states[-1]; the depth head/neck is ignored).
+
+    Accepts Intel/dpt-large naming (``dpt.encoder.layer...``, plain ViT) and
+    Intel/dpt-beit-large-512 / BeitModel naming (``backbone.``/``beit.``/bare
+    prefix, BEiT layout with per-layer relative position bias, lambda
+    LayerScale, fused key without bias)."""
+    for prefix in ("dpt.", "backbone.", "beit.", ""):
+        if any(k.startswith(prefix + "encoder.layer.") for k in sd):
+            break
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    beit = any(".lambda_1" in k for k in sd)
+
+    params = {
+        "patch_embed": {
+            "kernel": _conv_kernel(sd["embeddings.patch_embeddings.projection.weight"]),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": sd["embeddings.cls_token"],
+    }
+    if cfg.abs_pos_embed:
+        pos = sd["embeddings.position_embeddings"]
+        if pos.ndim == 3:
+            pos = pos[0]
+        cls_pos, patch_pos = pos[:1], pos[1:]
+        old_side = int(patch_pos.shape[0] ** 0.5)
+        if old_side != cfg.grid_side:
+            patch_pos = interpolate_patch_pos_embed(patch_pos, old_side,
+                                                    cfg.grid_side)
+        params["pos_embed"] = np.concatenate([cls_pos, patch_pos], axis=0)
+    for i in range(cfg.num_blocks_to_run):
+        lp = f"encoder.layer.{i}."
+        attn = {
+            "q_proj": _dense(sd, lp + "attention.attention.query"),
+            "k_proj": _dense(sd, lp + "attention.attention.key"),
+            "v_proj": _dense(sd, lp + "attention.attention.value"),
+            "out_proj": _dense(sd, lp + "attention.output.dense"),
+        }
+        if beit:
+            attn["rel_pos_table"] = sd[
+                lp + "attention.attention.relative_position_bias."
+                     "relative_position_bias_table"]
+        block = {
+            "norm1": _ln(sd, lp + "layernorm_before"),
+            "attn": attn,
+            "norm2": _ln(sd, lp + "layernorm_after"),
+            "mlp": {"fc1": _dense(sd, lp + "intermediate.dense"),
+                    "fc2": _dense(sd, lp + "output.dense")},
+        }
+        if beit:
+            block["ls1_gamma"] = sd[lp + "lambda_1"]
+            block["ls2_gamma"] = sd[lp + "lambda_2"]
+        params[f"blocks_{i}"] = block
+    if cfg.num_blocks_to_run == cfg.num_layers and cfg.final_layernorm:
+        params["final_layernorm"] = _ln(sd, "layernorm")
+    return params
+
+
+def convert_eva02(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
+    """EVA-02-CLIP trunk -> VisionTransformer params.
+
+    The reference loads timm/eva02_large_patch14_clip_* through open_clip
+    (eva_clip_encoder.py:24-38) and taps trunk.forward_features. Accepts
+    timm Eva naming (``visual.trunk.blocks.N.attn.{q,k,v}_proj``, SwiGLU as
+    ``mlp.fc1_g/fc1_x/mlp.norm/fc2``) and BAAI EVA-02 naming
+    (``visual.blocks.N.mlp.w1/w2/ffn_ln/w3``). Rope tables are computed, not
+    stored, so they need no conversion."""
+    for prefix in ("visual.trunk.", "trunk.", "visual.", ""):
+        if any(k.startswith(prefix + "blocks.") for k in sd):
+            break
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    pos = sd["pos_embed"]
+    if pos.ndim == 3:
+        pos = pos[0]
+    cls_pos, patch_pos = pos[:1], pos[1:]
+    old_side = int(patch_pos.shape[0] ** 0.5)
+    if old_side != cfg.grid_side:
+        patch_pos = interpolate_patch_pos_embed(patch_pos, old_side,
+                                                cfg.grid_side)
+    params = {
+        "patch_embed": {
+            "kernel": _conv_kernel(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"].reshape(1, 1, -1),
+        "pos_embed": np.concatenate([cls_pos, patch_pos], axis=0),
+    }
+    for i in range(cfg.num_blocks_to_run):
+        lp = f"blocks.{i}."
+        if lp + "mlp.w1.weight" in sd:   # BAAI naming
+            mlp = {"w1": _dense(sd, lp + "mlp.w1"),
+                   "w2": _dense(sd, lp + "mlp.w2"),
+                   "ffn_ln": _ln(sd, lp + "mlp.ffn_ln"),
+                   "w3": _dense(sd, lp + "mlp.w3")}
+        else:                            # timm naming
+            mlp = {"w1": _dense(sd, lp + "mlp.fc1_g"),
+                   "w2": _dense(sd, lp + "mlp.fc1_x"),
+                   "ffn_ln": _ln(sd, lp + "mlp.norm"),
+                   "w3": _dense(sd, lp + "mlp.fc2")}
+        params[f"blocks_{i}"] = {
+            "norm1": _ln(sd, lp + "norm1"),
+            "attn": {
+                "q_proj": _dense(sd, lp + "attn.q_proj"),
+                "k_proj": {"kernel": sd[lp + "attn.k_proj.weight"].T},
+                "v_proj": _dense(sd, lp + "attn.v_proj"),
+                "out_proj": _dense(sd, lp + "attn.proj"),
+            },
+            "norm2": _ln(sd, lp + "norm2"),
+            "mlp": mlp,
+        }
+    if cfg.num_blocks_to_run == cfg.num_layers and cfg.final_layernorm:
+        params["final_layernorm"] = _ln(sd, "norm")
+    return params
+
+
 def convert_convnext(sd: Dict[str, np.ndarray], cfg: ConvNeXtConfig) -> dict:
     """ConvNext trunk -> ConvNeXtTokens params ('trunk' subtree).
 

@@ -117,6 +117,12 @@ def load_tower_params(tower: VisionTower, rng=None):
         if "dinov2" in name:
             return jax.tree.map(jnp.asarray,
                                 hf_vision.convert_dinov2(sd, tower.config))
+        if "midas" in name:
+            return jax.tree.map(jnp.asarray,
+                                hf_vision.convert_dpt_vit(sd, tower.config))
+        if "eva" in name:
+            return jax.tree.map(jnp.asarray,
+                                hf_vision.convert_eva02(sd, tower.config))
         return jax.tree.map(jnp.asarray,
                             hf_vision.convert_clip_vision(sd, tower.config))
     if tower.hf_repo is not None:

@@ -121,17 +121,66 @@ def _build_dfn(name, res, interp, dtype):
                       hf_repo="apple/DFN5B-CLIP-ViT-H-14")
 
 
-@register_tower("eva-clip")
+@register_tower("eva02")
 @register_tower("eva/clip")
 def _build_eva(name, res, interp, dtype):
-    """EVA01-CLIP g/14 (eva_clip_encoder.py)."""
-    cfg = ViTConfig(hidden_size=1408, num_layers=40, num_heads=16,
-                    intermediate_size=6144, patch_size=14,
-                    image_size=res or 224, class_token=True,
+    """EVA-02-CLIP ViT-L/14 trunk (eva_clip_encoder.py:18-34 loads
+    timm/eva02_large_patch14_clip_{336,224} via open_clip and taps
+    forward_features).
+
+    TrV block per the EVA-02 paper: 2-D axial RoPE on patch tokens
+    (positions rescaled to the 16x16 pretrain grid), sub-LN SwiGLU FFN
+    (hidden = 2/3 * 4d), key projection without bias, absolute position
+    embeddings kept. select_layer=-2 like the other CLIP towers."""
+    size = 224 if ("224" in name and "336" not in name) else 336
+    cfg = ViTConfig(hidden_size=1024, num_layers=24, num_heads=16,
+                    intermediate_size=2730, patch_size=14,
+                    image_size=res or size, class_token=True,
                     final_layernorm=False, act="gelu", select_layer=-2,
-                    ln_eps=1e-6)
+                    ln_eps=1e-6, k_bias=False, rope=True, rope_ref_side=16,
+                    swiglu_ln=True)
+    repo = ("timm/eva02_large_patch14_clip_224.merged2b_s4b_b131k"
+            if cfg.image_size == 224
+            else "timm/eva02_large_patch14_clip_336.merged2b_s6b_b61k")
     return _vit_tower(name, cfg, res, interp, dtype, CLIP_MEAN, CLIP_STD,
-                      hf_repo="QuanSun/EVA-CLIP")
+                      hf_repo=repo)
+
+
+@register_tower("midas")
+def _build_midas(name, res, interp, dtype):
+    """MiDaS depth towers (midas_encoder.py:37-103): DPT backbones tapped at
+    hidden_states[-1] (pre final-LN), cls dropped, mean/std 0.5.
+
+    - large-midas: Intel/dpt-large = plain ViT-L/16 @384
+    - large-beit-midas-512: Intel/dpt-beit-large-512 = BEiT-L/16 @512
+      (per-block relative position bias, LayerScale, no absolute pos embed,
+      key proj without bias)
+    - hybrid-midas: the reference itself notes it NaNs immediately
+      (midas_encoder.py:46) and never used it; unsupported here too.
+    """
+    lowered = name.lower()
+    if "hybrid" in lowered:
+        raise NotImplementedError(
+            "hybrid-midas (ResNet-hybrid DPT) NaNs in the reference "
+            "(midas_encoder.py:46) and is not supported")
+    if "beit" in lowered:
+        cfg = ViTConfig(hidden_size=1024, num_layers=24, num_heads=16,
+                        intermediate_size=4096, patch_size=16,
+                        image_size=res or 512, class_token=True,
+                        final_layernorm=False, act="gelu", select_layer=-1,
+                        ln_eps=1e-12, k_bias=False, abs_pos_embed=False,
+                        rel_pos_bias=True, layer_scale=True)
+        repo = "Intel/dpt-beit-large-512"
+    else:
+        cfg = ViTConfig(hidden_size=1024, num_layers=24, num_heads=16,
+                        intermediate_size=4096, patch_size=16,
+                        image_size=res or 384, class_token=True,
+                        final_layernorm=False, act="gelu", select_layer=-1,
+                        ln_eps=1e-12)
+        repo = "Intel/dpt-large"
+    half = ([0.5, 0.5, 0.5], [0.5, 0.5, 0.5])
+    return _vit_tower(name, cfg, res, interp, dtype, half[0], half[1],
+                      hf_repo=repo)
 
 
 class _HybridTower:
@@ -193,9 +242,6 @@ def _unavailable(reason):
     return builder
 
 
-register_tower("midas")(_unavailable(
-    "MiDaS/DPT depth backbone port is planned; the paper's ablation used "
-    "timm DPT-BEiT-L-512"))
 register_tower("diffusion")(_unavailable(
     "Stable-Diffusion UNet feature extraction requires `diffusers`, which is "
     "not in this image (diffusion_encoder.py:14-160)"))

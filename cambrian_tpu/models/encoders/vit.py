@@ -17,6 +17,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...ops.activations import gelu_exact
@@ -42,6 +43,13 @@ class ViTConfig:
     patch_bias: bool = True              # CLIP patch conv has no bias
     select_layer: int = 0                # 0/None = full forward; -2 = CLIP tap
     select_feature: str = "patch"        # patch | cls_patch
+    # ----- BEiT / EVA-02 variants (midas_encoder.py, eva_clip_encoder.py) --
+    k_bias: bool = True                  # BEiT/EVA-02: key proj has no bias
+    abs_pos_embed: bool = True           # BEiT: no absolute position embed
+    rel_pos_bias: bool = False           # BEiT: per-block relative pos bias
+    rope: bool = False                   # EVA-02: 2-D axial rotary embedding
+    rope_ref_side: int = 0               # EVA-02 pretrain grid side (pt_seq_len)
+    swiglu_ln: bool = False              # EVA-02 sub-LN SwiGLU (LN before fc2)
 
     @property
     def grid_side(self) -> int:
@@ -76,25 +84,102 @@ def _activation(name: str):
     raise ValueError(f"unknown activation {name}")
 
 
+def _rope_tables(side: int, head_dim: int, ref_side: int):
+    """EVA-02 2-D axial rotary tables for a ``side``x``side`` patch grid.
+
+    Matches the published VisionRotaryEmbeddingFast (EVA-02; also timm
+    eva.py's RotaryEmbeddingCat semantics): theta=10000 over ``head_dim//2``
+    per-axis dims, positions rescaled to the pretrain grid ``ref_side``
+    (ft_seq_len/pt_seq_len interpolation), interleaved pair rotation, and the
+    two axes' halves concatenated on the feature dim."""
+    axis_dim = head_dim // 2
+    freqs = 1.0 / (10000.0 ** (np.arange(0, axis_dim, 2, dtype=np.float64)
+                               / axis_dim))
+    t = np.arange(side, dtype=np.float64)
+    if ref_side and ref_side != side:
+        t = t / side * ref_side
+    ang = np.einsum("s,f->sf", t, freqs)           # [side, axis_dim//2]
+    ang = np.repeat(ang, 2, axis=-1)               # interleave pairs
+    ang_h = np.broadcast_to(ang[:, None, :], (side, side, axis_dim))
+    ang_w = np.broadcast_to(ang[None, :, :], (side, side, axis_dim))
+    full = np.concatenate([ang_h, ang_w], axis=-1).reshape(side * side, head_dim)
+    return jnp.asarray(np.sin(full), jnp.float32), jnp.asarray(np.cos(full), jnp.float32)
+
+
+def _rotate_every_two(x):
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def _apply_rope(x, sin, cos, n_prefix: int):
+    """Rotate patch tokens only (prefix/cls tokens pass through) — EVA-02
+    applies rope after splitting off the class token."""
+    prefix, patches = x[:, :n_prefix], x[:, n_prefix:]
+    sin = sin[None, :, None, :].astype(x.dtype)
+    cos = cos[None, :, None, :].astype(x.dtype)
+    patches = patches * cos + _rotate_every_two(patches) * sin
+    return jnp.concatenate([prefix, patches], axis=1) if n_prefix else patches
+
+
+def beit_relative_position_index(side: int) -> np.ndarray:
+    """Static [1+g^2, 1+g^2] lookup into the (2g-1)^2+3 BEiT relative-distance
+    table; the 3 extra rows cover cls<->patch and cls<->cls (HF
+    BeitRelativePositionBias semantics)."""
+    coords = np.stack(np.meshgrid(np.arange(side), np.arange(side),
+                                  indexing="ij")).reshape(2, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0)
+    rel = rel + (side - 1)
+    rel[:, :, 0] *= 2 * side - 1
+    n = side * side
+    num_dist = (2 * side - 1) ** 2 + 3
+    index = np.zeros((n + 1, n + 1), dtype=np.int32)
+    index[1:, 1:] = rel.sum(-1)
+    index[0, 0:] = num_dist - 3
+    index[0:, 0] = num_dist - 2
+    index[0, 0] = num_dist - 1
+    return index
+
+
 class ViTAttention(nn.Module):
     cfg: ViTConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None, rel_pos_index=None):
         c = self.cfg
         b, n, _ = x.shape
         head_dim = c.hidden_size // c.num_heads
         q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
+        k = nn.Dense(c.hidden_size, use_bias=c.k_bias, dtype=self.dtype,
+                     name="k_proj")(x)
         v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
         q = q.reshape(b, n, c.num_heads, head_dim)
         k = k.reshape(b, n, c.num_heads, head_dim)
         v = v.reshape(b, n, c.num_heads, head_dim)
-        # Non-causal full attention, fused (Pallas on TPU, XLA elsewhere)
-        from ...ops.flash_attention import flash_attention
+        if rope is not None:
+            sin, cos = rope
+            q = _apply_rope(q, sin, cos, c.num_prefix_tokens)
+            k = _apply_rope(k, sin, cos, c.num_prefix_tokens)
+        if rel_pos_index is not None:
+            # BEiT: per-block learned relative position bias added to the
+            # attention logits; plain fp32-softmax path (bias precludes the
+            # fused kernel; ablation-zoo towers only).
+            num_dist = int(rel_pos_index.max()) + 1
+            table = self.param("rel_pos_table", nn.initializers.zeros,
+                               (num_dist, c.num_heads), jnp.float32)
+            bias = table[jnp.asarray(rel_pos_index)]        # [N, N, H]
+            bias = jnp.transpose(bias, (2, 0, 1))           # [H, N, N]
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * (head_dim ** -0.5) + bias[None]
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            out = out.reshape(b, n, c.hidden_size)
+        else:
+            # Non-causal full attention, fused (Pallas on TPU, XLA elsewhere)
+            from ...ops.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v).reshape(b, n, c.hidden_size)
+            out = flash_attention(q, k, v).reshape(b, n, c.hidden_size)
         return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -105,6 +190,15 @@ class ViTMlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.cfg
+        if c.swiglu_ln:
+            # EVA-02 sub-LN SwiGLU (TrV block): silu(w1 x) * (w2 x) -> LN ->
+            # w3 (eva_clip_encoder.py loads this trunk; timm Eva "SwiGLU with
+            # scale_mlp", checkpoint keys fc1_g/fc1_x/norm/fc2 or w1/w2/ffn_ln/w3)
+            g = nn.Dense(c.intermediate_size, dtype=self.dtype, name="w1")(x)
+            u = nn.Dense(c.intermediate_size, dtype=self.dtype, name="w2")(x)
+            h = nn.silu(g) * u
+            h = StreamLayerNorm(epsilon=c.ln_eps, name="ffn_ln")(h)
+            return nn.Dense(c.hidden_size, dtype=self.dtype, name="w3")(h)
         if c.swiglu:
             # DINOv2 SwiGLUFFN: weights_in -> split -> silu(x1)*x2 -> weights_out
             h = nn.Dense(2 * c.intermediate_size, dtype=self.dtype, name="weights_in")(x)
@@ -121,10 +215,11 @@ class ViTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, rope=None, rel_pos_index=None):
         c = self.cfg
         h = StreamLayerNorm(epsilon=c.ln_eps, name="norm1")(x)
-        h = ViTAttention(c, dtype=self.dtype, name="attn")(h)
+        h = ViTAttention(c, dtype=self.dtype, name="attn")(
+            h, rope=rope, rel_pos_index=rel_pos_index)
         if c.layer_scale:
             g1 = self.param("ls1_gamma", nn.initializers.ones, (c.hidden_size,), jnp.float32)
             h = h * g1.astype(h.dtype)
@@ -175,26 +270,37 @@ class VisionTransformer(nn.Module):
             prefix.append(jnp.broadcast_to(reg.astype(x.dtype),
                                            (b, c.num_register_tokens, c.hidden_size)))
 
-        pos = self.param(
-            "pos_embed", nn.initializers.zeros,
-            ((1 if c.class_token else 0) + n_patches, c.hidden_size), jnp.float32,
-        )
-        if c.class_token:
-            # pos embed covers [cls] + patches (CLIP/DINOv2 layout); register
-            # tokens (if any) carry no positional term (DINOv2-reg layout).
-            cls_tok = prefix[0] + pos[:1].astype(x.dtype)
-            x = x + pos[1:].astype(x.dtype)
-            parts = [cls_tok] + prefix[1:] + [x]
-            x = jnp.concatenate(parts, axis=1)
-        else:
-            x = x + pos.astype(x.dtype)
+        if c.abs_pos_embed:
+            pos = self.param(
+                "pos_embed", nn.initializers.zeros,
+                ((1 if c.class_token else 0) + n_patches, c.hidden_size),
+                jnp.float32,
+            )
+            if c.class_token:
+                # pos embed covers [cls] + patches (CLIP/DINOv2 layout);
+                # register tokens (if any) carry no positional term
+                # (DINOv2-reg layout).
+                cls_tok = prefix[0] + pos[:1].astype(x.dtype)
+                x = x + pos[1:].astype(x.dtype)
+                parts = [cls_tok] + prefix[1:] + [x]
+                x = jnp.concatenate(parts, axis=1)
+            else:
+                x = x + pos.astype(x.dtype)
+        elif prefix:
+            x = jnp.concatenate(prefix + [x], axis=1)
 
         if c.pre_layernorm:
             x = StreamLayerNorm(epsilon=c.ln_eps, name="pre_layernorm")(x)
 
+        side = c.grid_side
+        rope = _rope_tables(side, c.hidden_size // c.num_heads,
+                            c.rope_ref_side) if c.rope else None
+        rel_index = beit_relative_position_index(side) if c.rel_pos_bias else None
+
         n_run = c.num_blocks_to_run
         for i in range(n_run):
-            x = ViTBlock(c, dtype=self.dtype, name=f"blocks_{i}")(x)
+            x = ViTBlock(c, dtype=self.dtype, name=f"blocks_{i}")(
+                x, rope=rope, rel_pos_index=rel_index)
 
         if n_run == c.num_layers and c.final_layernorm:
             x = StreamLayerNorm(epsilon=c.ln_eps, name="final_layernorm")(x)

@@ -326,6 +326,131 @@ def convert_eva02(sd: Dict[str, np.ndarray], cfg: ViTConfig) -> dict:
     return params
 
 
+def _gn(sd, prefix):
+    return {"gn": {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}}
+
+
+def _conv(sd, prefix):
+    out = {"kernel": _conv_kernel(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _sd_resnet(sd, prefix, has_temb=True):
+    block = {
+        "norm1": _gn(sd, prefix + ".norm1"),
+        "conv1": _conv(sd, prefix + ".conv1"),
+        "norm2": _gn(sd, prefix + ".norm2"),
+        "conv2": _conv(sd, prefix + ".conv2"),
+    }
+    if has_temb and prefix + ".time_emb_proj.weight" in sd:
+        block["time_emb_proj"] = _dense(sd, prefix + ".time_emb_proj")
+    if prefix + ".conv_shortcut.weight" in sd:
+        block["conv_shortcut"] = _conv(sd, prefix + ".conv_shortcut")
+    return block
+
+
+def _sd_transformer(sd, prefix):
+    tp = prefix + ".transformer_blocks.0."
+    block = {
+        "norm1": _ln(sd, tp + "norm1"),
+        "norm2": _ln(sd, tp + "norm2"),
+        "norm3": _ln(sd, tp + "norm3"),
+        "ff_geglu": _dense(sd, tp + "ff.net.0.proj"),
+        "ff_out": _dense(sd, tp + "ff.net.2"),
+    }
+    for a in ("attn1", "attn2"):
+        for proj in ("to_q", "to_k", "to_v"):
+            block[f"{a}_{proj}"] = _dense(sd, f"{tp}{a}.{proj}")
+        block[f"{a}_to_out"] = _dense(sd, f"{tp}{a}.to_out.0")
+    return {
+        "norm": _gn(sd, prefix + ".norm"),
+        "proj_in": _dense(sd, prefix + ".proj_in"),
+        "block_0": block,
+        "proj_out": _dense(sd, prefix + ".proj_out"),
+    }
+
+
+def convert_sd_tower(sd: Dict[str, np.ndarray], cfg) -> dict:
+    """stabilityai/stable-diffusion-2-1 (diffusers naming: ``unet.*`` +
+    ``vae.*``, or bare per-component dicts) -> SDFeatureTower params
+    (reference diffusion_encoder.py:166-216 loads the UNet + VAE + DDIM
+    scheduler; the VAE decoder, text encoder and safety checker are unused).
+
+    ``empty_prompt_embeds`` ([77, cross_attention_dim], the cached empty-
+    string encoding, diffusion_encoder.py:237-243) may be supplied as a key
+    of the same name; it defaults to zeros otherwise.
+    """
+    n_blocks = len(cfg.block_out_channels)
+
+    vae = {k[len("vae.encoder."):]: v for k, v in sd.items()
+           if k.startswith("vae.encoder.")}
+    if not vae:
+        vae = {k[len("encoder."):]: v for k, v in sd.items()
+               if k.startswith("encoder.")}
+    quant_key = "vae.quant_conv" if "vae.quant_conv.weight" in sd else "quant_conv"
+    vp = {
+        "conv_in": _conv(vae, "conv_in"),
+        "conv_norm_out": _gn(vae, "conv_norm_out"),
+        "conv_out": _conv(vae, "conv_out"),
+        "quant_conv": _conv(sd, quant_key),
+        "mid_resnet_0": _sd_resnet(vae, "mid_block.resnets.0", False),
+        "mid_resnet_1": _sd_resnet(vae, "mid_block.resnets.1", False),
+        "mid_attn": {
+            "group_norm": _gn(vae, "mid_block.attentions.0.group_norm"),
+            "to_q": _dense(vae, "mid_block.attentions.0.to_q"),
+            "to_k": _dense(vae, "mid_block.attentions.0.to_k"),
+            "to_v": _dense(vae, "mid_block.attentions.0.to_v"),
+            "to_out": _dense(vae, "mid_block.attentions.0.to_out.0"),
+        },
+    }
+    for i in range(len(cfg.vae_channels)):
+        for j in range(cfg.vae_layers_per_block):
+            vp[f"down_{i}_resnet_{j}"] = _sd_resnet(
+                vae, f"down_blocks.{i}.resnets.{j}", False)
+        if i != len(cfg.vae_channels) - 1:
+            vp[f"down_{i}_downsample"] = _conv(
+                vae, f"down_blocks.{i}.downsamplers.0.conv")
+
+    unet = {k[len("unet."):]: v for k, v in sd.items() if k.startswith("unet.")}
+    if not unet:
+        unet = sd
+    up = {
+        "conv_in": _conv(unet, "conv_in"),
+        "time_linear_1": _dense(unet, "time_embedding.linear_1"),
+        "time_linear_2": _dense(unet, "time_embedding.linear_2"),
+        "mid_resnet_0": _sd_resnet(unet, "mid_block.resnets.0"),
+        "mid_resnet_1": _sd_resnet(unet, "mid_block.resnets.1"),
+        "mid_attn": _sd_transformer(unet, "mid_block.attentions.0"),
+    }
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block):
+            up[f"down_{i}_resnet_{j}"] = _sd_resnet(
+                unet, f"down_blocks.{i}.resnets.{j}")
+            if i < n_blocks - 1:
+                up[f"down_{i}_attn_{j}"] = _sd_transformer(
+                    unet, f"down_blocks.{i}.attentions.{j}")
+        if i != n_blocks - 1:
+            up[f"down_{i}_downsample"] = _conv(
+                unet, f"down_blocks.{i}.downsamplers.0.conv")
+    for i in range(n_blocks):
+        for j in range(cfg.layers_per_block + 1):
+            up[f"up_{i}_resnet_{j}"] = _sd_resnet(
+                unet, f"up_blocks.{i}.resnets.{j}")
+            if i > 0:
+                up[f"up_{i}_attn_{j}"] = _sd_transformer(
+                    unet, f"up_blocks.{i}.attentions.{j}")
+        if i != n_blocks - 1:
+            up[f"up_{i}_upsample"] = _conv(
+                unet, f"up_blocks.{i}.upsamplers.0.conv")
+
+    empty = sd.get("empty_prompt_embeds")
+    if empty is None:
+        empty = np.zeros((77, cfg.cross_attention_dim), np.float32)
+    return {"vae": vp, "unet": up, "empty_prompt_embeds": empty}
+
+
 def convert_convnext(sd: Dict[str, np.ndarray], cfg: ConvNeXtConfig) -> dict:
     """ConvNext trunk -> ConvNeXtTokens params ('trunk' subtree).
 

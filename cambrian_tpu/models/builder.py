@@ -123,6 +123,9 @@ def load_tower_params(tower: VisionTower, rng=None):
         if "eva" in name:
             return jax.tree.map(jnp.asarray,
                                 hf_vision.convert_eva02(sd, tower.config))
+        if "diffusion" in name or "pixart" in name:
+            return jax.tree.map(jnp.asarray,
+                                hf_vision.convert_sd_tower(sd, tower.config))
         return jax.tree.map(jnp.asarray,
                             hf_vision.convert_clip_vision(sd, tower.config))
     if tower.hf_repo is not None:

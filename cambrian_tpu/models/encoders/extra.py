@@ -2,9 +2,8 @@
 §2.3): MAE / MoCo-v3 / I-JEPA / MAWS / supervised-ViT / DFN-CLIP / EVA-CLIP
 as configurations of the generic ViT, plus the hybrid concat tower.
 
-MiDaS (DPT) and the diffusion towers (SD-UNet / PixArt features) need
-architectures or libraries not present in this image; their names resolve to
-informative errors rather than silent fallbacks.
+Also here: MiDaS DPT depth towers (plain ViT + BEiT layouts) and the SD-2.1
+one-step-denoise diffusion tower (see ``diffusion.py``).
 """
 
 from typing import Optional
@@ -242,9 +241,27 @@ def _unavailable(reason):
     return builder
 
 
-register_tower("diffusion")(_unavailable(
-    "Stable-Diffusion UNet feature extraction requires `diffusers`, which is "
-    "not in this image (diffusion_encoder.py:14-160)"))
-register_tower("pixart")(_unavailable(
-    "PixArt-alpha feature extraction requires `diffusers` "
-    "(pixart_alpha_encoder.py)"))
+@register_tower("diffusion")
+@register_tower("pixart")
+def _build_diffusion(name, res, interp, dtype):
+    """SD-2.1 one-step-denoise feature tower (diffusion_encoder.py:160-260;
+    pixart_alpha_encoder.py loads the identical SD-2.1 pipeline — its PixArt
+    import is dead code). hidden 3520 = concat of the 4 up-block taps,
+    32x32 token grid at 512 res, mean/std 0.5."""
+    from .diffusion import SDConfig, SDFeatureTower, tiny_sd
+
+    if "tiny" in name.lower():
+        cfg = tiny_sd(image_size=res or 64)
+    elif res is not None and res != 512:
+        cfg = SDConfig(image_size=res)
+    else:
+        cfg = SDConfig()
+    return VisionTower(
+        name=name, module=SDFeatureTower(cfg, dtype=dtype), config=cfg,
+        hidden_size=cfg.hidden_size, image_size=cfg.image_size,
+        interp_size=interp,
+        image_processor=ImageProcessor(size=cfg.image_size,
+                                       image_mean=[0.5, 0.5, 0.5],
+                                       image_std=[0.5, 0.5, 0.5]),
+        hf_repo="stabilityai/stable-diffusion-2-1",
+    )

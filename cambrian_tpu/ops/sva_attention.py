@@ -1,0 +1,156 @@
+"""Fused Pallas kernel for the SVA windowed cross-attention (SURVEY §7
+hard-part 3; reference hot path vision_sampler.py:155-234).
+
+Access pattern: every latent query owns a small private KV window (the
+concatenation of all towers' spatially-aligned tokens, W ~ 8-64), so the
+attention is a block-diagonal bipartite pattern — not a dense [Q, K] matrix.
+The jnp fallback (``ops.attention.windowed_cross_attention``) materializes
+fp32 logits/probs [B, Q, H, W] plus the windowed K/V in HBM between three
+einsums; this kernel streams a block of queries' windows through VMEM once
+and does logits -> masked fp32 softmax -> PV per head on the VPU with no
+intermediate HBM traffic.
+
+The per-(query, head) contraction is a [D] x [W, D] matvec — too small for
+the MXU no matter how it's batched (the reference's CUDA path has the same
+property and batch-flattens into B*Q separate SDPA calls,
+cambrian_arch.py:271-287). The FLOPs are negligible; the win is purely
+HBM-traffic and fusion-barrier elimination, so the kernel matters most at
+training batch sizes and for the in-LLM injection layers (10 layers x
+stride 3 in the 8B recipe). Measured numbers live in docs/PERF_NOTES.md.
+
+Backward runs the einsum math under ``jax.custom_vjp`` — with W this small
+the gradient GEMMs are bandwidth-trivial and XLA fuses them; a bespoke
+backward kernel would buy nothing.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import NEG_INF, windowed_cross_attention
+
+
+def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, num_heads, head_dim, scale):
+    q = q_ref[0].astype(jnp.float32)          # [G, H*D]
+    k = k_ref[0].astype(jnp.float32)          # [G, W, H*D]
+    v = v_ref[0].astype(jnp.float32)
+    valid = m_ref[0]                          # [G, W] bool
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qs = q[:, sl]                         # [G, D]
+        ks = k[:, :, sl]                      # [G, W, D]
+        logits = jnp.sum(qs[:, None, :] * ks, axis=-1) * scale
+        logits = jnp.where(valid, logits, NEG_INF)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - mx)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.sum(p[:, :, None] * v[:, :, sl], axis=1)   # [G, D]
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+def _fused_impl(q, k, v, mask, scale, block_q, interpret=False):
+    from jax.experimental import pallas as pl
+
+    b, q_len, h, d = q.shape
+    w = k.shape[2]
+    # pad the window axis to a sublane multiple and Q to whole blocks
+    w_pad = -w % 16
+    q_pad = -q_len % block_q
+    if mask is None:
+        mask = jnp.ones((b, q_len, w), dtype=bool)
+    if w_pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, w_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, w_pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, w_pad)))
+    if q_pad:
+        q = jnp.pad(q, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
+        # padded queries get an all-False window -> uniform probs, finite out
+        mask = jnp.pad(mask, ((0, 0), (0, q_pad), (0, 0)))
+    wp = w + w_pad
+    qp = q_len + q_pad
+
+    qf = q.reshape(b, qp, h * d)
+    kf = k.reshape(b, qp, wp, h * d)
+    vf = v.reshape(b, qp, wp, h * d)
+
+    grid = (b, qp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_heads=h, head_dim=d, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, h * d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, wp, h * d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, block_q, wp, h * d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, block_q, wp), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h * d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, qp, h * d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, mask)
+    return out.reshape(b, qp, h, d)[:, :q_len]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused(q, k, v, mask, scale, block_q, interpret=False):
+    return _fused_impl(q, k, v, mask, scale, block_q, interpret)
+
+
+def _fused_fwd(q, k, v, mask, scale, block_q, interpret=False):
+    return _fused_impl(q, k, v, mask, scale, block_q, interpret), (q, k, v, mask)
+
+
+def _fused_bwd(scale, block_q, interpret, res, g):
+    q, k, v, mask = res
+    # recompute probs with the identical masked fp32 softmax, then the
+    # standard SDPA gradients — W is tiny, XLA fuses this chain
+    logits = jnp.einsum("bqhd,bqwhd->bqhw", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask[:, :, None, :], logits, NEG_INF)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - mx)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)                 # [B,Q,H,W]
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dp = jnp.einsum("bqhd,bqwhd->bqhw", g32, v32)
+    dv = jnp.einsum("bqhw,bqhd->bqwhd", p, g32).astype(v.dtype)
+    dsoft = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = (jnp.einsum("bqhw,bqwhd->bqhd", dsoft, k.astype(jnp.float32))
+          * scale).astype(q.dtype)
+    dk = (jnp.einsum("bqhw,bqhd->bqwhd", dsoft, q.astype(jnp.float32))
+          * scale).astype(k.dtype)
+    return dq, dk, dv, None
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_windowed_cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_q: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``windowed_cross_attention`` (same shapes/masking/fp32
+    softmax semantics); Pallas on TPU, jnp einsums elsewhere.
+
+    q [B,Q,H,D]; k,v [B,Q,W,H,D]; mask bool [B,Q,W] or [B,Q,H,W].
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    on_tpu = jax.default_backend() == "tpu"
+    if (not on_tpu and not interpret) or q.shape[1] < block_q:
+        return windowed_cross_attention(q, k, v, mask, scale)
+    if mask is not None and mask.ndim == 4:
+        # per-head masks never occur in SVA; fall back rather than widen VMEM
+        return windowed_cross_attention(q, k, v, mask, scale)
+    return _fused(q, k, v, mask, scale, block_q, interpret)

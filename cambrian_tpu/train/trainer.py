@@ -13,6 +13,7 @@ Feature parity with the reference's training runtime (cambrian_trainer.py):
   while the device steps)
 """
 
+import concurrent.futures
 import json
 import logging
 import os
@@ -59,6 +60,11 @@ class TrainingArguments(TrainConfig):
     seed: int = 42
     group_by_modality_length: bool = True
     bf16: bool = True
+    # parallel per-sample fetch inside the prefetch thread (reference flag
+    # dataloader_num_workers=4, e.g. pretrain_cambrian_8b.sh; PIL decode and
+    # the native C++ image ops release the GIL, so threads scale on real
+    # multi-core hosts — nproc=1 dev containers see no change)
+    dataloader_num_workers: int = 4
     # mesh
     mesh_data: int = 1
     mesh_fsdp: int = -1
@@ -320,10 +326,36 @@ class CambrianTrainer:
 
             zero_supervision_batches = 0
 
+            n_workers = max(1, args.dataloader_num_workers)
+            fetch_pool = (concurrent.futures.ThreadPoolExecutor(n_workers)
+                          if n_workers > 1 else None)
+            pending: "queue.Queue" = queue.Queue()
+
+            def submit_next():
+                """Dispatch the next batch's per-sample fetches so they decode
+                while the previous batch is being collated/stepped."""
+                try:
+                    idx = next(index_iter)
+                except StopIteration:
+                    pending.put(None)
+                    return
+                pending.put([fetch_pool.submit(self.train_dataset.__getitem__, i)
+                             for i in idx])
+
+            if fetch_pool is not None:
+                submit_next()
+
             def make_batch():
                 nonlocal zero_supervision_batches
-                idx = next(index_iter)
-                instances = [self.train_dataset[i] for i in idx]
+                if fetch_pool is not None:
+                    futures = pending.get()
+                    if futures is None:
+                        raise StopIteration
+                    submit_next()
+                    instances = [f.result() for f in futures]
+                else:
+                    idx = next(index_iter)
+                    instances = [self.train_dataset[i] for i in idx]
                 batch = self.data_collator(instances)
                 # a batch whose labels are fully IGNORE_INDEX trains on
                 # nothing but still reports loss 0.0 — the silent failure
@@ -379,6 +411,8 @@ class CambrianTrainer:
                         self._save_checkpoint(state, rng_key, step + 1)
             finally:
                 prefetcher.stop()
+                if fetch_pool is not None:
+                    fetch_pool.shutdown(wait=False, cancel_futures=True)
 
             self._save_checkpoint(state, rng_key, total_steps)
             if args.lora_enable:

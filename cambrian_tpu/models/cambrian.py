@@ -379,6 +379,9 @@ class CambrianLM(nn.Module):
             logits = self.lm_head(hidden.astype(jnp.float32))
         if self.cfg.logit_scale is not None:  # cohere
             logits = logits * self.cfg.logit_scale
+        if self.cfg.final_logit_softcapping is not None:  # gemma2
+            cap = self.cfg.final_logit_softcapping
+            logits = cap * jnp.tanh(logits / cap)
         return logits
 
     def _image_start(self, input_ids) -> jnp.ndarray:

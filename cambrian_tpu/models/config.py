@@ -36,7 +36,8 @@ class CambrianConfig:
     sliding_window: Optional[int] = None  # mistral/phi3
     logit_scale: Optional[float] = None   # cohere
     use_qk_norm: bool = False             # cohere variants
-    attn_logit_softcapping: Optional[float] = None  # gemma2
+    attn_logit_softcapping: Optional[float] = None   # gemma2 (50.0)
+    final_logit_softcapping: Optional[float] = None  # gemma2 (30.0)
     bos_token_id: int = 128000
     eos_token_id: int = 128001
     pad_token_id: Optional[int] = None

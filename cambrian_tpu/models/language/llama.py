@@ -222,7 +222,7 @@ class LlamaAttention(nn.Module):
 
         from ...ops.flash_attention import flash_attention
 
-        if s >= 128:
+        if s >= 128 and c.attn_logit_softcapping is None:
             # prefill/train: fused Pallas attention with structural masking
             out = flash_attention(
                 q, k, v, key_valid=mask.key_valid, causal=mask.causal,
@@ -230,9 +230,12 @@ class LlamaAttention(nn.Module):
             )
         else:
             # decode steps: q is tiny; padding it to an MXU tile wastes more
-            # than the fused kernel saves -> plain XLA attention over the cache
+            # than the fused kernel saves -> plain XLA attention over the
+            # cache. Gemma-2 softcapping also lands here (the fused kernel
+            # has no tanh-cap epilogue).
             out = dot_product_attention(
-                q, k, v, mask.dense(s, k.shape[1], c.sliding_window))
+                q, k, v, mask.dense(s, k.shape[1], c.sliding_window),
+                logit_cap=c.attn_logit_softcapping)
         out = out.reshape(b, s, h * d)
         out = decoder_dense(c, c.hidden_size, bias, self.dtype, "o_proj")(out)
         return out, new_cache

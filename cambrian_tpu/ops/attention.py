@@ -23,6 +23,7 @@ def dot_product_attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    logit_cap: Optional[float] = None,
 ) -> jnp.ndarray:
     """Masked scaled dot-product attention.
 
@@ -32,6 +33,8 @@ def dot_product_attention(
         v: [B, K, H, D]
         mask: optional bool, broadcastable to [B, H, Q, K]; True = attend.
         scale: defaults to 1/sqrt(D).
+        logit_cap: Gemma-2 attn_logit_softcapping — logits squashed to
+            cap*tanh(logits/cap) before masking (fp32).
 
     Returns:
         [B, Q, H, D] in q.dtype.
@@ -42,6 +45,8 @@ def dot_product_attention(
         scale = d ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
+    if logit_cap is not None:
+        logits = logit_cap * jnp.tanh(logits / logit_cap)
     if mask is not None:
         logits = jnp.where(mask, logits, NEG_INF)
     probs = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))

@@ -154,3 +154,52 @@ def test_cohere_parity():
         **_COMMON_VISION,
     )
     _run_parity(hf, cfg)
+
+
+def test_softcapping_math():
+    """Gemma-2 logit softcapping: cap*tanh(x/cap) on attention logits
+    (ops/attention.py) and on final logits (cambrian.py::_logits)."""
+    import numpy as np
+
+    from cambrian_tpu.ops.attention import dot_product_attention
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((1, 4, 2, 8)).astype(np.float32)) * 4
+    k = jnp.asarray(rng.standard_normal((1, 4, 2, 8)).astype(np.float32)) * 4
+    v = jnp.asarray(rng.standard_normal((1, 4, 2, 8)).astype(np.float32))
+    capped = dot_product_attention(q, k, v, logit_cap=5.0)
+    uncapped = dot_product_attention(q, k, v)
+    assert not np.allclose(np.asarray(capped), np.asarray(uncapped))
+    # manual reference
+    logits = np.einsum("bqhd,bkhd->bhqk", np.asarray(q), np.asarray(k)) / np.sqrt(8)
+    logits = 5.0 * np.tanh(logits / 5.0)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", probs, np.asarray(v))
+    np.testing.assert_allclose(np.asarray(capped), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_final_logit_softcapping_forward():
+    cfg = CambrianConfig(
+        model_type="gemma", vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, rms_norm_eps=1e-6, tie_word_embeddings=True,
+        hidden_act="gelu_pytorch_tanh", attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        **_COMMON_VISION,
+    )
+    import numpy as np
+
+    from cambrian_tpu.models.cambrian import CambrianLM
+
+    model = CambrianLM(cfg, (32,))
+    ids = np.full((1, 8), 3, dtype=np.int32)
+    mask = np.ones((1, 8), bool)
+    pos = np.arange(8, dtype=np.int32)[None]
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(mask), jnp.asarray(pos), None, None)
+    logits = model.apply(params, jnp.asarray(ids), jnp.asarray(mask),
+                         jnp.asarray(pos), None, None)
+    arr = np.asarray(logits)
+    assert np.isfinite(arr).all()
+    assert np.abs(arr).max() <= 30.0 + 1e-4

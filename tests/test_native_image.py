@@ -70,16 +70,26 @@ def test_faster_than_pil_for_batches(lib):
     proc = ImageProcessor(size=336)
 
     native_image.preprocess_batch(images[:1], 336, mean, std)  # warm
-    t0 = time.perf_counter()
-    native_image.preprocess_batch(images, 336, mean, std)
-    t_native = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for arr in images:
-        img = PIL.fromarray(arr)
-        fill = tuple(int(m * 255) for m in mean)
-        proc.preprocess(expand2square(img, fill).resize((336, 336)))
-    t_pil = time.perf_counter() - t0
+    def _best(fn, reps=3):
+        # min-of-reps: co-tenant CPU load only ever inflates a rep, so the
+        # minimum is the least-contended measurement of each path
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_native = _best(lambda: native_image.preprocess_batch(images, 336, mean, std))
+
+    def pil_path():
+        for arr in images:
+            img = PIL.fromarray(arr)
+            fill = tuple(int(m * 255) for m in mean)
+            proc.preprocess(expand2square(img, fill).resize((336, 336)))
+
+    t_pil = _best(pil_path)
 
     # soft check: don't fail CI on noisy machines, but record the ratio
     print(f"native {t_native*1000:.1f}ms vs PIL {t_pil*1000:.1f}ms "

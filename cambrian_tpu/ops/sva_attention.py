@@ -33,21 +33,25 @@ import numpy as np
 from .attention import NEG_INF, windowed_cross_attention
 
 
-def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, num_heads, head_dim, scale):
-    q = q_ref[0].astype(jnp.float32)          # [G, H*D]
-    k = k_ref[0].astype(jnp.float32)          # [G, W, H*D]
-    v = v_ref[0].astype(jnp.float32)
-    valid = m_ref[0]                          # [G, W] bool
-    for h in range(num_heads):
+def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, heads_in_block, head_dim,
+            scale):
+    """One (batch, q-block, head-group) grid cell. The head axis lives in
+    the grid so each cell's K/V block is [G, W, group*D] (~0.5 MB) — far
+    inside the 16 MB scoped-VMEM limit even with pallas's input
+    double-buffering. Heads are grouped so the lane (last) block dim is a
+    multiple of 128 (TPU tiling rule)."""
+    valid = m_ref[0]                                    # [G, W] bool
+    for h in range(heads_in_block):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        qs = q[:, sl]                         # [G, D]
-        ks = k[:, :, sl]                      # [G, W, D]
+        qs = q_ref[0, :, sl].astype(jnp.float32)        # [G, D]
+        ks = k_ref[0, :, :, sl].astype(jnp.float32)     # [G, W, D]
         logits = jnp.sum(qs[:, None, :] * ks, axis=-1) * scale
         logits = jnp.where(valid, logits, NEG_INF)
         mx = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - mx)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jnp.sum(p[:, :, None] * v[:, :, sl], axis=1)   # [G, D]
+        vs = v_ref[0, :, :, sl].astype(jnp.float32)
+        out = jnp.sum(p[:, :, None] * vs, axis=1)       # [G, D]
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
@@ -78,17 +82,27 @@ def _fused_impl(q, k, v, mask, scale, block_q, interpret=False):
     kf = k.reshape(b, qp, wp, h * d)
     vf = v.reshape(b, qp, wp, h * d)
 
-    grid = (b, qp // block_q)
+    # lane-dim blocks must be multiples of 128: group heads accordingly
+    if d % 128 == 0:
+        group = 1
+    elif 128 % d == 0 and h % (128 // d) == 0:
+        group = 128 // d
+    else:
+        group = h                      # whole head dim as one block
+    gd = group * d
+
+    grid = (b, qp // block_q, h // group)
     out = pl.pallas_call(
-        functools.partial(_kernel, num_heads=h, head_dim=d, scale=scale),
+        functools.partial(_kernel, heads_in_block=group, head_dim=d,
+                          scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, h * d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_q, wp, h * d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, block_q, wp, h * d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, block_q, wp), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, gd), lambda i, j, hh: (i, j, hh)),
+            pl.BlockSpec((1, block_q, wp, gd), lambda i, j, hh: (i, j, 0, hh)),
+            pl.BlockSpec((1, block_q, wp, gd), lambda i, j, hh: (i, j, 0, hh)),
+            pl.BlockSpec((1, block_q, wp), lambda i, j, hh: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, h * d), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, block_q, gd), lambda i, j, hh: (i, j, hh)),
         out_shape=jax.ShapeDtypeStruct((b, qp, h * d), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, mask)

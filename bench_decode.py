@@ -117,6 +117,17 @@ def main():
         import gc
         gc.collect()
 
+    # free the phi-3 params and every cached executable/constant before the
+    # 8B section: 7.6 GB of live phi-3 weights + ~9 GB of int8 8B weights
+    # exceed the chip's 16 GB HBM (measured OOM)
+    del params, model
+    jax.clear_caches()
+    import gc
+    gc.collect()
+
+
+def _main_and_serving():
+    main()
     serving_8b_int8()
 
 
@@ -210,4 +221,4 @@ def serving_8b_int8():
 
 
 if __name__ == "__main__":
-    main()
+    _main_and_serving()

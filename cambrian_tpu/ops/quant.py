@@ -36,13 +36,26 @@ def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray,
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
-def _q_matmul_kernel(x_ref, w_ref, scale_ref, o_ref):
-    x = x_ref[0]                        # [bm, K]
-    w = w_ref[0].astype(x.dtype)        # [K, bn] int8 -> compute dtype
-    acc = jax.lax.dot_general(
+def _q_matmul_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, k_blocks):
+    """One (m, n, k) grid cell; K iterates innermost so the fp32 VMEM
+    accumulator stays resident per output tile. K-blocking keeps the tiles
+    inside scoped VMEM at LLM widths (K=14336 whole-K tiles measured 21.6 MB
+    > the 16 MB limit at 8B prefill shapes)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]                        # [bm, bk]
+    w = w_ref[0].astype(x.dtype)        # [bk, bn] int8 -> compute dtype
+    acc_ref[...] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
-    o_ref[0] = (acc * scale_ref[0]).astype(o_ref.dtype)
+
+    @pl.when(kb == k_blocks - 1)
+    def _write():
+        o_ref[0] = (acc_ref[...] * scale_ref[0]).astype(o_ref.dtype)
 
 
 def _round_up(v, m):
@@ -62,26 +75,32 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
 
     m_pad = _round_up(m, block_m)
     n_pad = _round_up(n, block_n)
-    k_pad = _round_up(k, 128)
+    block_k = min(2048, _round_up(k, 128))
+    k_pad = _round_up(k, block_k)
+    k_blocks = k_pad // block_k
     xp = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))[None]
     wp = jnp.pad(w_q, ((0, k_pad - k), (0, n_pad - n)))[None]
     sp = jnp.pad(scale.astype(jnp.float32), (0, n_pad - n))[None, None]
 
-    grid = (m_pad // block_m, n_pad // block_n)
+    import functools
+
+    grid = (m_pad // block_m, n_pad // block_n, k_blocks)
     out = pl.pallas_call(
-        _q_matmul_kernel,
+        functools.partial(_q_matmul_kernel, k_blocks=k_blocks),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_m, k_pad), lambda i, j: (0, i, 0),
+            pl.BlockSpec((1, block_m, block_k), lambda i, j, kb: (0, i, kb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_pad, block_n), lambda i, j: (0, 0, j),
+            pl.BlockSpec((1, block_k, block_n), lambda i, j, kb: (0, kb, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_n), lambda i, j: (0, 0, j),
+            pl.BlockSpec((1, 1, block_n), lambda i, j, kb: (0, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_m, block_n), lambda i, j: (0, i, j),
+        out_specs=pl.BlockSpec((1, block_m, block_n),
+                               lambda i, j, kb: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, m_pad, n_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n_pad * k_pad,
             bytes_accessed=xp.size * xp.dtype.itemsize + wp.size + n_pad * 4,

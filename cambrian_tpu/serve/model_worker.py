@@ -176,6 +176,9 @@ class ModelWorker:
             input_ids, images=image_tensor, image_sizes=image_sizes,
             do_sample=do_sample, temperature=temperature, top_p=top_p,
             max_new_tokens=max_new_tokens,
+            # tokens per device dispatch: amortizes per-step dispatch while
+            # keeping incremental text (clients may lower it for smoother UX)
+            stream_chunk=int(params.get("stream_chunk", 8)),
         ):
             text = tokenizer.decode(out_ids[0], skip_special_tokens=True)
             if stop_str and stop_str in text:

@@ -94,7 +94,10 @@ def measure_torch():
     spec.loader.exec_module(ref)
 
     q_dim, ctx_dim, hidden = 4096, 1024, 1024
-    kv_dims = [1152, 1024, 1536, 5760]
+    # the sampler sees post-aux-projector features: every tower is already
+    # hidden_dim-dimensional (cambrian_arch projects before sampling; the
+    # projection GEMMs are counted on the JAX side, favoring torch here)
+    kv_dims = [1024, 1024, 1024, 1024]
     kv_sizes = [1, 1, 1, 4]          # aux lens [576,576,576,9216] -> windows
     sampler = ref.VisionTokenSampler(q_dim, ctx_dim, kv_dims, kv_sizes,
                                      hidden, num_of_layers=3).eval()

@@ -233,14 +233,6 @@ def _build_hybrid(name, res, interp, dtype):
     return _HybridTower(name, towers, interp)
 
 
-def _unavailable(reason):
-    def builder(name, res, interp, dtype):
-        raise NotImplementedError(
-            f"Vision tower '{name}' is recognized but unavailable here: {reason}"
-        )
-    return builder
-
-
 @register_tower("diffusion")
 @register_tower("pixart")
 def _build_diffusion(name, res, interp, dtype):

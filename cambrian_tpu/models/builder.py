@@ -73,6 +73,13 @@ def load_config(model_path: str) -> CambrianConfig:
                                             raw.get("model_type", "llama"))
     if "tokenizer_model_max_length" not in raw:
         raw["tokenizer_model_max_length"] = raw.get("max_position_embeddings", 2048)
+    if "scan_layers" not in raw and raw.get("num_hidden_layers", 0) >= 40:
+        # 34B-class checkpoints (60 layers): scan the uniform decoder runs by
+        # default — greedy tokens are identical to the unrolled loop
+        # (tests/test_scan_layers.py) and trace time stays one-layer-sized
+        # (docs/PERF_NOTES.md). Set "scan_layers": false in config.json to
+        # opt out.
+        raw["scan_layers"] = True
     return CambrianConfig.from_dict(raw)
 
 

@@ -70,3 +70,28 @@ def test_scan_init_creates_same_params(built):
     flat2 = {"/".join(map(str, k)): (v.shape, str(v.dtype))
              for k, v in jax.tree_util.tree_flatten_with_path(p2)[0]}
     assert flat1 == flat2
+
+
+def test_deep_checkpoints_default_to_scan(tmp_path):
+    """load_config turns scan_layers on for 40+-layer checkpoints unless the
+    config pins it (34B compile-time default)."""
+    import json
+
+    from cambrian_tpu.models.builder import load_config
+
+    base = dict(model_type="cambrian_llama", vocab_size=256, hidden_size=64,
+                intermediate_size=128, num_attention_heads=4,
+                num_key_value_heads=4,
+                mm_vision_tower_aux_list=["debug-tower-0"],
+                mm_vision_tower_aux_token_len_list=[16],
+                query_num_list=[16], image_token_len=16, num_query_group=1,
+                vision_hidden_size=32)
+    for layers, pinned, expect in [(60, None, True), (60, False, False),
+                                   (32, None, False)]:
+        cfg_raw = dict(base, num_hidden_layers=layers)
+        if pinned is not None:
+            cfg_raw["scan_layers"] = pinned
+        d = tmp_path / f"ckpt_{layers}_{pinned}"
+        d.mkdir()
+        (d / "config.json").write_text(json.dumps(cfg_raw))
+        assert load_config(str(d)).scan_layers is expect, (layers, pinned)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..models.cambrian import CambrianLM
 from ..models.language.llama import init_kv_cache
-from .engine import GenerationConfig, sample_token
+from .engine import GenerationConfig, sample_token, sample_token_per_slot
 
 
 @dataclass
@@ -74,6 +74,7 @@ class ContinuousBatchingEngine:
         self._jit_prefill = jax.jit(self._prefill_impl)
         self._jit_scatter = jax.jit(self._scatter_impl, donate_argnums=(0,))
         self._jit_decode = jax.jit(self._decode_impl, donate_argnums=(2,))
+        self._chunk_fns: Dict[int, Any] = {}
 
     # -- jitted pieces -------------------------------------------------------
 
@@ -96,6 +97,43 @@ class ContinuousBatchingEngine:
             params, tokens, positions, cache, cache_valid, write_index,
             method=CambrianLM.decode_step,
         )
+
+    def _decode_chunk_impl(self, params, next_logits, cache, cache_valid,
+                           positions, write_index, active, remaining, temps,
+                           top_ps, eos_ids, rng, *, chunk):
+        """``chunk`` lockstep decode steps for ALL slots as one compiled
+        program (per-slot sampling configs, per-slot eos / budget). Each host
+        round trip costs ~30 ms on tunneled chips and one dispatch anywhere;
+        chunking amortizes it for the multi-request serving path exactly as
+        ``GenerationEngine.generate_stream`` does for single requests.
+
+        Tokens for slots that were inactive (or finished mid-chunk) are -1.
+        Finished slots' trailing cache writes are cleared by the host when it
+        retires the slot, so the stray eos-token KV row is never attended.
+        """
+        num_slots = next_logits.shape[0]
+
+        def body(j, carry):
+            toks, next_logits, cache, cache_valid, active, remaining, rng = carry
+            rng, sub = jax.random.split(rng)
+            token = sample_token_per_slot(next_logits, sub, temps, top_ps)
+            toks = toks.at[:, j].set(jnp.where(active, token, -1))
+            hit_eos = (eos_ids >= 0) & (token == eos_ids)
+            remaining = jnp.where(active, remaining - 1, remaining)
+            new_active = active & ~hit_eos & (remaining > 0)
+            wi = write_index + j
+            bidx = jnp.arange(num_slots)
+            cache_valid = cache_valid.at[bidx, wi].set(active)
+            feed = jnp.where(active, token, 0)
+            logits, cache = self.model.apply(
+                params, feed[:, None], (positions + j)[:, None], cache,
+                cache_valid, wi, method=CambrianLM.decode_step)
+            next_logits = jnp.where(active[:, None], logits, next_logits)
+            return toks, next_logits, cache, cache_valid, new_active, remaining, rng
+
+        toks0 = jnp.full((num_slots, chunk), -1, jnp.int32)
+        carry = (toks0, next_logits, cache, cache_valid, active, remaining, rng)
+        return jax.lax.fori_loop(0, chunk, body, carry)
 
     # -- public API -----------------------------------------------------------
 
@@ -149,6 +187,79 @@ class ContinuousBatchingEngine:
     def _retire(self, slot: int):
         self.slot_request[slot] = None
         self.cache_valid = self.cache_valid.at[slot].set(False)
+
+    def step_chunk(self, chunk: int) -> int:
+        """Admit pending work and advance every active slot up to ``chunk``
+        tokens in ONE device dispatch. New requests are admitted at chunk
+        boundaries (standard continuous-batching granularity tradeoff).
+        Returns the number of active slots afterwards."""
+        self._admit()
+        active_idx = [i for i, r in enumerate(self.slot_request)
+                      if r is not None]
+        if not active_idx:
+            return 0
+        headroom = min(self.max_len - int(self.slot_len[i])
+                       for i in active_idx)
+        chunk_eff = max(1, min(chunk, headroom))
+        if chunk_eff == 1:
+            return self.step()
+
+        s = self.num_slots
+        active = np.zeros(s, bool)
+        remaining = np.zeros(s, np.int32)
+        temps = np.ones(s, np.float32)
+        top_ps = np.ones(s, np.float32)
+        eos_ids = np.full(s, -1, np.int32)
+        for i in active_idx:
+            req = self.slot_request[i]
+            active[i] = True
+            remaining[i] = req.config.max_new_tokens - len(req.tokens)
+            temps[i] = req.config.temperature
+            top_ps[i] = req.config.top_p
+            if req.config.eos_token_id is not None:
+                eos_ids[i] = req.config.eos_token_id
+
+        if chunk_eff not in self._chunk_fns:
+            import functools
+
+            self._chunk_fns[chunk_eff] = jax.jit(functools.partial(
+                self._decode_chunk_impl, chunk=chunk_eff),
+                donate_argnums=(2,))
+        self._rng, sub = jax.random.split(self._rng)
+        (toks, self.next_logits, self.cache, self.cache_valid, _, _,
+         _) = self._chunk_fns[chunk_eff](
+            self.params, self.next_logits, self.cache, self.cache_valid,
+            jnp.asarray(self.slot_pos), jnp.asarray(self.slot_len),
+            jnp.asarray(active), jnp.asarray(remaining), jnp.asarray(temps),
+            jnp.asarray(top_ps), jnp.asarray(eos_ids), sub)
+
+        toks_np = np.asarray(toks)
+        n_active = 0
+        for i in active_idx:
+            req = self.slot_request[i]
+            emitted = 0
+            done = False
+            for j in range(chunk_eff):
+                tok = int(toks_np[i, j])
+                if tok < 0:
+                    break
+                emitted += 1
+                req.tokens.append(tok)
+                if req.on_token:
+                    req.on_token(tok)
+                eos = req.config.eos_token_id
+                if (eos is not None and tok == eos) or \
+                        len(req.tokens) >= req.config.max_new_tokens:
+                    done = True
+                    break
+            self.slot_len[i] += emitted
+            self.slot_pos[i] += emitted
+            if done or int(self.slot_len[i]) >= self.max_len:
+                req.finished = True
+                self._retire(i)
+            else:
+                n_active += 1
+        return n_active
 
     def step(self) -> int:
         """Admit pending work and advance every active slot one token.
@@ -212,10 +323,11 @@ class ContinuousBatchingEngine:
             self.slot_pos[i] += 1
         return len(still_active)
 
-    def run_until_complete(self, requests: Sequence[Request]):
-        """Drive steps until the given requests all finish."""
+    def run_until_complete(self, requests: Sequence[Request], chunk: int = 1):
+        """Drive steps until the given requests all finish. ``chunk`` > 1
+        advances all slots multiple tokens per device dispatch."""
         while not all(r.finished for r in requests):
-            n = self.step()
+            n = self.step_chunk(chunk) if chunk > 1 else self.step()
             if n == 0 and self._pending.empty() and \
                     not all(r.finished for r in requests):
                 # everything retired (eos/max length) in this step

@@ -55,6 +55,25 @@ def sample_token(logits: jnp.ndarray, rng, temperature: float, top_p: float):
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+def sample_token_per_slot(logits: jnp.ndarray, rng, temps: jnp.ndarray,
+                          top_ps: jnp.ndarray) -> jnp.ndarray:
+    """Per-row ``sample_token``: [B, V] logits with per-slot temperature /
+    top_p vectors [B] -> [B] int32. Rows with temperature 0 are greedy.
+    Used by the continuous-batching chunked decode, where slots with
+    different generation configs advance in one compiled program."""
+    greedy = jnp.argmax(logits, axis=-1)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_ps[:, None], axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    filtered = jnp.where((top_ps[:, None] < 1.0) & (scaled < cutoff),
+                         -jnp.inf, scaled)
+    sampled = jax.random.categorical(rng, filtered, axis=-1)
+    return jnp.where(temps == 0.0, greedy, sampled).astype(jnp.int32)
+
+
 class GenerationEngine:
     """Batched multimodal generation over a fixed-size KV cache."""
 

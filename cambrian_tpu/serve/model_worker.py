@@ -36,7 +36,7 @@ class ModelWorker:
                  load_8bit=False, load_4bit=False, device="tpu",
                  limit_model_concurrency: int = 5, register: bool = True,
                  model_bundle=None, continuous_batching: bool = False,
-                 num_slots: int = 4):
+                 num_slots: int = 4, cb_chunk: int = 8):
         from ..models.builder import load_pretrained_model
 
         self.controller_addr = controller_addr
@@ -63,6 +63,7 @@ class ModelWorker:
         # advance in lockstep (SURVEY.md §7 hard-part 6); a single stepper
         # thread drives the engine while request threads stream tokens out
         self.cb_engine = None
+        self.cb_chunk = max(1, int(cb_chunk))
         if continuous_batching:
             from ..infer.continuous import ContinuousBatchingEngine
 
@@ -80,7 +81,10 @@ class ModelWorker:
 
     def _cb_stepper(self):
         while True:
-            active = self.cb_engine.step()
+            # chunked lockstep decode: all slots advance cb_chunk tokens per
+            # device dispatch (admission happens at chunk boundaries)
+            active = self.cb_engine.step_chunk(self.cb_chunk) \
+                if self.cb_chunk > 1 else self.cb_engine.step()
             if active == 0 and self.cb_engine._pending.empty():
                 self._cb_wake.wait(timeout=0.05)
                 self._cb_wake.clear()
@@ -310,6 +314,9 @@ def main():
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--limit-model-concurrency", type=int, default=5)
     parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--cb-chunk", type=int, default=8,
+                        help="tokens decoded per device dispatch in "
+                             "continuous-batching mode")
     parser.add_argument("--continuous-batching", action="store_true",
                         help="serve concurrent requests through one shared "
                         "KV cache (slot-based continuous batching)")
@@ -327,6 +334,7 @@ def main():
         device=args.device, limit_model_concurrency=args.limit_model_concurrency,
         register=not args.no_register,
         continuous_batching=args.continuous_batching, num_slots=args.num_slots,
+        cb_chunk=args.cb_chunk,
     )
     logger.info("worker listening on %s:%d", args.host, args.port)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(worker))

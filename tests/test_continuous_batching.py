@@ -137,3 +137,81 @@ def test_sliding_window_host_device_parity(bundle):
     host = engine.generate(ids, mask, pos, None, None, gcfg, on_device=False)
     dev = engine.generate(ids, mask, pos, None, None, gcfg, on_device=True)
     np.testing.assert_array_equal(host, dev)
+
+
+def test_chunked_matches_per_token(bundle):
+    """step_chunk(N) must produce the same greedy tokens as per-token
+    stepping, including slot reuse and mixed prompt lengths."""
+    tokenizer, model = bundle
+    prompts = [
+        "a cat sat on the mat",
+        "describe the picture please user",
+        "hello world what is in this image today",
+    ]
+    cfg = GenerationConfig(max_new_tokens=7, temperature=0.0)
+
+    def run(chunk):
+        cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
+                                      max_len=256, cache_dtype=jnp.float32)
+        reqs = []
+        for p in prompts:
+            ids, mask, pos = _mk_prompt(tokenizer, p)
+            reqs.append(cb.submit(ids, mask, pos, config=cfg))
+        return cb.run_until_complete(reqs, chunk=chunk)
+
+    per_token = run(1)
+    chunked = run(4)
+    for a, b in zip(per_token, chunked):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_chunked_eos_mid_chunk(bundle):
+    """A slot hitting eos inside a chunk stops exactly there; the other slot
+    keeps decoding to its budget."""
+    tokenizer, model = bundle
+    ids, mask, pos = _mk_prompt(tokenizer, "a cat sat on the mat")
+
+    cb0 = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
+                                   max_len=128, cache_dtype=jnp.float32)
+    probe = cb0.submit(ids, mask, pos,
+                       config=GenerationConfig(max_new_tokens=8,
+                                               temperature=0.0))
+    full = cb0.run_until_complete([probe], chunk=4)[0]
+    eos = int(full[2])  # pretend the 3rd generated token is eos
+
+    cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
+                                  max_len=128, cache_dtype=jnp.float32)
+    r_eos = cb.submit(ids, mask, pos, config=GenerationConfig(
+        max_new_tokens=8, temperature=0.0, eos_token_id=eos))
+    ids2, mask2, pos2 = _mk_prompt(tokenizer, "hello world today")
+    r_full = cb.submit(ids2, mask2, pos2, config=GenerationConfig(
+        max_new_tokens=6, temperature=0.0))
+    outs = cb.run_until_complete([r_eos, r_full], chunk=4)
+    assert len(outs[0]) == 3 and int(outs[0][-1]) == eos
+    assert len(outs[1]) == 6
+    np.testing.assert_array_equal(outs[0], full[:3])
+
+
+def test_chunked_mixed_sampling_configs(bundle):
+    """Per-slot temperatures in one chunk: the greedy slot is token-exact
+    while the sampled slot draws valid tokens."""
+    tokenizer, model = bundle
+    ids, mask, pos = _mk_prompt(tokenizer, "a cat sat on the mat")
+    ids2, mask2, pos2 = _mk_prompt(tokenizer, "hello world today")
+
+    seq = GenerationEngine(model.lm, model.params, model.towers,
+                           max_len=128, cache_dtype=jnp.float32)
+    greedy_ref = seq.generate(ids, mask, pos, None, None,
+                              GenerationConfig(max_new_tokens=6,
+                                               temperature=0.0))[0]
+
+    cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
+                                  max_len=128, cache_dtype=jnp.float32)
+    r_greedy = cb.submit(ids, mask, pos, config=GenerationConfig(
+        max_new_tokens=6, temperature=0.0))
+    r_sample = cb.submit(ids2, mask2, pos2, config=GenerationConfig(
+        max_new_tokens=6, temperature=0.9, top_p=0.9, seed=3))
+    outs = cb.run_until_complete([r_greedy, r_sample], chunk=3)
+    np.testing.assert_array_equal(outs[0], np.asarray(greedy_ref))
+    assert len(outs[1]) == 6
+    assert all(0 <= t < model.config.vocab_size for t in outs[1])

@@ -232,71 +232,74 @@ class DataCollatorForSupervisedDataset:
 
 
 def split_to_even_chunks(indices, lengths, num_chunks):
-    """Greedy bin-packing of indices into equally-sized chunks balanced by
-    total length (cambrian_trainer.py:65-89)."""
-    if len(indices) % num_chunks != 0:
+    """Partition ``indices`` into ``num_chunks`` equal-count chunks with
+    balanced total sample length — the per-rank split of one global batch
+    (semantics of cambrian_trainer.py:65-89). Each index goes to the
+    currently-lightest chunk that still has room; when the count does not
+    divide evenly, fall back to round-robin striding."""
+    if len(indices) % num_chunks:
         return [indices[i::num_chunks] for i in range(num_chunks)]
-    num_indices_per_chunk = len(indices) // num_chunks
+    per_chunk = len(indices) // num_chunks
     chunks = [[] for _ in range(num_chunks)]
-    chunk_lengths = [0 for _ in range(num_chunks)]
-    for index in indices:
-        shortest = chunk_lengths.index(min(chunk_lengths))
-        chunks[shortest].append(index)
-        chunk_lengths[shortest] += lengths[index]
-        if len(chunks[shortest]) == num_indices_per_chunk:
-            chunk_lengths[shortest] = float("inf")
+    loads = [0.0] * num_chunks
+    for idx in indices:
+        lightest = min(range(num_chunks), key=loads.__getitem__)
+        chunks[lightest].append(idx)
+        loads[lightest] += lengths[idx]
+        if len(chunks[lightest]) == per_chunk:
+            loads[lightest] = float("inf")  # full — stop assigning to it
     return chunks
 
 
 def get_modality_length_grouped_indices(lengths, batch_size, world_size,
                                         generator: Optional[np.random.Generator] = None):
-    """Group by modality (sign) then by length into world-sized megabatches
-    (cambrian_trainer.py:99-126)."""
+    """Sampler order with no modality-mixed global batches (semantics of
+    cambrian_trainer.py:99-126). The sign of each length encodes modality
+    (multimodal > 0, text-only < 0): each modality is length-grouped on its
+    own and cut into world-sized batches; the two ragged tails merge into one
+    final batch; whole batches are then shuffled."""
     generator = generator or np.random.default_rng(0)
     lengths = list(lengths)
     assert all(l != 0 for l in lengths), "should not have zero length"
-    if all(l > 0 for l in lengths) or all(l < 0 for l in lengths):
-        return get_length_grouped_indices(lengths, batch_size, world_size, generator)
+    mm = [(i, l) for i, l in enumerate(lengths) if l > 0]
+    lang = [(i, -l) for i, l in enumerate(lengths) if l < 0]
+    if not mm or not lang:  # single-modality data: plain length grouping
+        return get_length_grouped_indices(lengths, batch_size, world_size,
+                                          generator)
 
-    mm_indices, mm_lengths = zip(*[(i, l) for i, l in enumerate(lengths) if l > 0])
-    lang_indices, lang_lengths = zip(*[(i, -l) for i, l in enumerate(lengths) if l < 0])
+    def batches_of(pairs):
+        idxs, lens = zip(*pairs)
+        order = get_length_grouped_indices(lens, batch_size, world_size,
+                                           generator)
+        flat = [idxs[i] for i in order]
+        size = world_size * batch_size
+        return [flat[i:i + size] for i in range(0, len(flat), size)]
 
-    mm_shuffle = [mm_indices[i] for i in get_length_grouped_indices(
-        mm_lengths, batch_size, world_size, generator)]
-    lang_shuffle = [lang_indices[i] for i in get_length_grouped_indices(
-        lang_lengths, batch_size, world_size, generator)]
-    megabatch_size = world_size * batch_size
-    mm_megabatches = [mm_shuffle[i:i + megabatch_size]
-                      for i in range(0, len(mm_shuffle), megabatch_size)]
-    lang_megabatches = [lang_shuffle[i:i + megabatch_size]
-                        for i in range(0, len(lang_shuffle), megabatch_size)]
-
-    last_mm = mm_megabatches[-1] if mm_megabatches else []
-    last_lang = lang_megabatches[-1] if lang_megabatches else []
-    additional_batch = last_mm + last_lang
-    megabatches = (mm_megabatches[:-1] if mm_megabatches else []) + \
-                  (lang_megabatches[:-1] if lang_megabatches else [])
-    megabatch_indices = generator.permutation(len(megabatches))
-    megabatches = [megabatches[i] for i in megabatch_indices]
-    if len(additional_batch) > 0:
-        megabatches.append(sorted(additional_batch))
-    return [i for megabatch in megabatches for i in megabatch]
+    mm_batches = batches_of(mm)
+    lang_batches = batches_of(lang)
+    tail = mm_batches[-1] + lang_batches[-1]
+    body = mm_batches[:-1] + lang_batches[:-1]
+    body = [body[i] for i in generator.permutation(len(body))]
+    if tail:
+        body.append(sorted(tail))
+    return [i for batch in body for i in batch]
 
 
 def get_length_grouped_indices(lengths, batch_size, world_size, generator=None,
                                merge=True):
-    """Shuffle, then sort within world-sized megabatches by length
-    (cambrian_trainer.py:129-141)."""
+    """Shuffle globally, then sort each world-sized slice by descending
+    length and split it into per-rank chunks of balanced total length
+    (semantics of cambrian_trainer.py:129-141)."""
     generator = generator or np.random.default_rng(0)
-    indices = generator.permutation(len(lengths)).tolist()
-    megabatch_size = world_size * batch_size
-    megabatches = [indices[i:i + megabatch_size]
-                   for i in range(0, len(lengths), megabatch_size)]
-    megabatches = [sorted(mb, key=lambda i: lengths[i], reverse=True)
-                   for mb in megabatches]
-    megabatches = [split_to_even_chunks(mb, lengths, world_size)
-                   for mb in megabatches]
-    return [i for mb in megabatches for chunk in mb for i in chunk]
+    order = generator.permutation(len(lengths)).tolist()
+    size = world_size * batch_size
+    out = []
+    for start in range(0, len(order), size):
+        block = sorted(order[start:start + size],
+                       key=lambda i: lengths[i], reverse=True)
+        for chunk in split_to_even_chunks(block, lengths, world_size):
+            out.extend(chunk)
+    return out
 
 
 class LengthGroupedSampler:

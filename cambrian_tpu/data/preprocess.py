@@ -119,21 +119,21 @@ def preprocess_llama_3(sources, tokenizer, has_image=False) -> Dict:
             if tokenizer.pad_token_id is not None else len(target)
         rounds = conversation.split(sep)
         cur_len = 0
-        for i, rou in enumerate(rounds):
-            if rou == "":
+        for i, round_text in enumerate(rounds):
+            if round_text == "":
                 break
-            rou += sep
+            round_text += sep
             if i == 0:  # system
-                round_len = len(tokenizer(rou).input_ids)
+                round_len = len(tokenizer(round_text).input_ids)
                 target[cur_len:cur_len + round_len] = IGNORE_INDEX
             elif i % 2 == 1:  # user
                 if i == 1 and has_image:
-                    round_len = len(tokenizer_image_token_llama3(rou, tokenizer))
+                    round_len = len(tokenizer_image_token_llama3(round_text, tokenizer))
                 else:
-                    round_len = len(tokenizer(rou).input_ids)
+                    round_len = len(tokenizer(round_text).input_ids)
                 target[cur_len:cur_len + round_len] = IGNORE_INDEX
             else:  # assistant: mask only the 3 header tokens
-                round_len = len(tokenizer(rou).input_ids)
+                round_len = len(tokenizer(round_text).input_ids)
                 target[cur_len:cur_len + 3] = IGNORE_INDEX
             cur_len += round_len
         target[cur_len:] = IGNORE_INDEX
@@ -157,18 +157,18 @@ def _preprocess_two_part(sources, tokenizer, has_image, sep, sep2,
         rounds = conversation.split(sep2)
         cur_len = 1
         target[:cur_len] = IGNORE_INDEX
-        for i, rou in enumerate(rounds):
-            if rou == "":
+        for i, round_text in enumerate(rounds):
+            if round_text == "":
                 break
-            parts = rou.split(sep)
+            parts = round_text.split(sep)
             if len(parts) != 2:
                 break
             parts[0] += sep
             if has_image:
-                round_len = len(tokenizer_image_token(rou, tokenizer))
+                round_len = len(tokenizer_image_token(round_text, tokenizer))
                 instruction_len = len(tokenizer_image_token(parts[0], tokenizer)) + instruction_offset
             else:
-                round_len = len(tokenizer(rou).input_ids)
+                round_len = len(tokenizer(round_text).input_ids)
                 instruction_len = len(tokenizer(parts[0]).input_ids) + instruction_offset
             if i != 0 and legacy_adjust and IS_TOKENIZER_GREATER_THAN_0_14:
                 round_len -= 1
@@ -214,23 +214,23 @@ def _preprocess_chunked(sources, tokenizer, has_image, instruction_offset,
         total_len = int((target != tokenizer.pad_token_id).sum()) \
             if tokenizer.pad_token_id is not None else len(target)
         rounds = conversation.split(conv.sep)
-        re_rounds = [conv.sep.join(rounds[:3])]
+        merged_rounds = [conv.sep.join(rounds[:3])]
         for idx in range(3, len(rounds), 2):
-            re_rounds.append(conv.sep.join(rounds[idx:idx + 2]))
+            merged_rounds.append(conv.sep.join(rounds[idx:idx + 2]))
         cur_len = 1
         target[:cur_len] = IGNORE_INDEX
-        for i, rou in enumerate(re_rounds):
-            if rou == "":
+        for i, round_text in enumerate(merged_rounds):
+            if round_text == "":
                 break
-            parts = rou.split(sep)
+            parts = round_text.split(sep)
             if len(parts) != 2:
                 break
             parts[0] += sep
             if has_image:
-                round_len = len(tokenizer_image_token(rou, tokenizer))
+                round_len = len(tokenizer_image_token(round_text, tokenizer))
                 instruction_len = len(tokenizer_image_token(parts[0], tokenizer)) + instruction_offset
             else:
-                round_len = len(tokenizer(rou).input_ids)
+                round_len = len(tokenizer(round_text).input_ids)
                 instruction_len = len(tokenizer(parts[0]).input_ids) + instruction_offset
             if i != 0:
                 round_len += legacy_round_delta + extra_round_delta

@@ -198,9 +198,7 @@ class ContinuousBatchingEngine:
                       if r is not None]
         if not active_idx:
             return 0
-        headroom = min(self.max_len - int(self.slot_len[i])
-                       for i in active_idx)
-        chunk_eff = max(1, min(chunk, headroom))
+        chunk_eff = max(1, int(chunk))
         if chunk_eff == 1:
             return self.step()
 
@@ -213,7 +211,14 @@ class ContinuousBatchingEngine:
         for i in active_idx:
             req = self.slot_request[i]
             active[i] = True
-            remaining[i] = req.config.max_new_tokens - len(req.tokens)
+            # per-slot budget: generation budget AND remaining cache capacity.
+            # A nearly-full slot caps only ITSELF (it goes inactive mid-chunk
+            # and is retired below) instead of degrading the whole batch to
+            # per-token stepping; its post-inactive lockstep writes land out
+            # of bounds and are dropped by the scatter (llama.py vector-index
+            # path), never clamped into live rows.
+            remaining[i] = min(req.config.max_new_tokens - len(req.tokens),
+                               self.max_len - int(self.slot_len[i]))
             temps[i] = req.config.temperature
             top_ps[i] = req.config.top_p
             if req.config.eos_token_id is not None:

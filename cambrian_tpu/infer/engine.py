@@ -35,7 +35,8 @@ class GenerationConfig:
     # streaming: tokens decoded per device dispatch (generate_stream). Each
     # host round trip costs ~30 ms on tunneled chips and one dispatch on any
     # chip; chunking amortizes it while keeping incremental text. 1 = legacy
-    # per-token streaming.
+    # per-token streaming. Ignored (forced to 1) when a Python-side stopping
+    # callable is supplied, so stopping criteria keep per-token granularity.
     stream_chunk: int = 8
 
 
@@ -166,15 +167,17 @@ class GenerationEngine:
 
         tokens0 = jnp.full((b, max_new_tokens), pad_token_id, jnp.int32)
         finished0 = jnp.zeros((b,), bool)
+        lengths0 = jnp.zeros((b,), jnp.int32)
 
         def body(t, carry):
-            tokens, next_logits, cache, cache_valid, finished, rng = carry
+            tokens, lengths, next_logits, cache, cache_valid, finished, rng = carry
             rng, sub = jax.random.split(rng)
             token = sample_token(next_logits, sub, temperature, top_p).astype(
                 jnp.int32)
             if eos_token_id is not None:
                 finished = finished | (token == eos_token_id)
             tokens = tokens.at[:, t].set(jnp.where(finished, pad_token_id, token))
+            lengths = lengths + (~finished).astype(jnp.int32)
             write_index = s + t
             cache_valid = cache_valid.at[:, write_index].set(~finished)
             window = self.model.cfg.sliding_window
@@ -186,11 +189,11 @@ class GenerationEngine:
                 params, token[:, None], (next_pos + t)[:, None], cache,
                 cache_valid, write_index, method=CambrianLM.decode_step,
             )
-            return tokens, next_logits, cache, cache_valid, finished, rng
+            return tokens, lengths, next_logits, cache, cache_valid, finished, rng
 
-        carry = (tokens0, next_logits, cache, cache_valid, finished0, rng)
-        tokens, *_ = jax.lax.fori_loop(0, max_new_tokens, body, carry)
-        return tokens
+        carry = (tokens0, lengths0, next_logits, cache, cache_valid, finished0, rng)
+        tokens, lengths, *_ = jax.lax.fori_loop(0, max_new_tokens, body, carry)
+        return tokens, lengths
 
     def _decode_chunk_impl(self, params, next_logits, cache, cache_valid,
                            next_pos, base_index, finished, rng, *, chunk,
@@ -204,7 +207,7 @@ class GenerationEngine:
         """
 
         def body(j, carry):
-            tokens, next_logits, cache, cache_valid, finished, rng = carry
+            tokens, lengths, next_logits, cache, cache_valid, finished, rng = carry
             rng, sub = jax.random.split(rng)
             token = sample_token(next_logits, sub, temperature, top_p).astype(
                 jnp.int32)
@@ -212,6 +215,7 @@ class GenerationEngine:
                 finished = finished | (token == eos_token_id)
             tokens = tokens.at[:, j].set(
                 jnp.where(finished, pad_token_id, token))
+            lengths = lengths + (~finished).astype(jnp.int32)
             write_index = base_index + j
             cache_valid = cache_valid.at[:, write_index].set(~finished)
             window = self.model.cfg.sliding_window
@@ -223,11 +227,12 @@ class GenerationEngine:
                 params, token[:, None], (next_pos + j)[:, None], cache,
                 cache_valid, write_index, method=CambrianLM.decode_step,
             )
-            return tokens, next_logits, cache, cache_valid, finished, rng
+            return tokens, lengths, next_logits, cache, cache_valid, finished, rng
 
         b = next_logits.shape[0]
         tokens0 = jnp.full((b, chunk), pad_token_id, jnp.int32)
-        carry = (tokens0, next_logits, cache, cache_valid, finished, rng)
+        lengths0 = jnp.zeros((b,), jnp.int32)
+        carry = (tokens0, lengths0, next_logits, cache, cache_valid, finished, rng)
         return jax.lax.fori_loop(0, chunk, body, carry)
 
     # -- public API ---------------------------------------------------------
@@ -248,6 +253,12 @@ class GenerationEngine:
     ) -> np.ndarray:
         """Returns generated token ids [B, <=max_new_tokens] (prompt excluded).
 
+        Per-sample generated lengths (tokens before eos / budget exhaustion)
+        are left in ``self.last_lengths`` [B] after every call — columns past a
+        sample's length are pad. Trailing columns where *every* sample has
+        finished are trimmed (by the tracked lengths, not by pad-matching, so
+        a legitimately generated token equal to pad_token_id is never dropped).
+
         With no Python-side stopping criteria the whole generation runs as one
         compiled program (prefill + lax.fori_loop decode)."""
         cfg = config or GenerationConfig()
@@ -266,21 +277,15 @@ class GenerationEngine:
                     temperature=cfg.temperature, top_p=cfg.top_p,
                     eos_token_id=cfg.eos_token_id, pad_token_id=cfg.pad_token_id,
                 ))
-            tokens = self._on_device_fns[key](
+            tokens, lengths = self._on_device_fns[key](
                 self.params, jnp.asarray(input_ids), jnp.asarray(attention_mask),
                 jnp.asarray(position_ids), cache, aux_features, aux_masks,
                 jax.random.PRNGKey(cfg.seed),
             )
             tokens = np.asarray(tokens)
-            # trim trailing all-pad columns (parity with the host loop's early
-            # exit once every sample has finished)
-            keep = tokens.shape[1]
-            pad = cfg.pad_token_id
-            nonpad = (tokens != pad).any(axis=0)
-            if not nonpad.all():
-                last = int(np.max(np.nonzero(nonpad)[0])) + 1 if nonpad.any() else 1
-                tokens = tokens[:, :last]
-            return tokens
+            self.last_lengths = np.asarray(lengths)
+            last = max(1, int(self.last_lengths.max()))
+            return tokens[:, :last]
 
         out = None
         for out in self.generate_stream(input_ids, attention_mask, position_ids,
@@ -300,11 +305,19 @@ class GenerationEngine:
     ):
         """Yields the generated ids so far [B, t] after every decode step
         (feeds the serving tier's incremental text streaming,
-        model_worker.py:170-196 semantics)."""
+        model_worker.py:170-196 semantics).
+
+        ``stream_chunk`` > 1 decodes whole chunks per device dispatch; a
+        Python-side ``stopping`` callable forces per-token stepping so the
+        criterion is observed at every token. When the cache capacity
+        (``max_len``) binds mid-chunk, the tail past the last whole chunk runs
+        per-token — chunked cache writes never exceed ``k_len`` (a clamped
+        dynamic_update_slice would silently corrupt the last cache row)."""
         cfg = config or GenerationConfig()
         b, s = input_ids.shape
-        chunk = max(1, int(cfg.stream_chunk))
+        chunk = 1 if stopping is not None else max(1, int(cfg.stream_chunk))
         # round the cache up to whole chunks so chunked writes never overflow
+        # (capped by max_len; the capped tail is decoded per-token below)
         n_new = -(-cfg.max_new_tokens // chunk) * chunk
         k_len = min(self.max_len, s + n_new)
 
@@ -326,6 +339,12 @@ class GenerationEngine:
         cache_valid = jnp.zeros((b, k_len), dtype=bool)
         cache_valid = cache_valid.at[:, :s].set(jnp.asarray(attention_mask))
 
+        cols: List[np.ndarray] = []
+        finished = np.zeros(b, dtype=bool)
+        lengths = np.zeros(b, dtype=np.int32)
+        self.last_lengths = lengths
+        t = 0
+
         if chunk > 1:
             import functools
 
@@ -338,42 +357,54 @@ class GenerationEngine:
                     eos_token_id=cfg.eos_token_id,
                     pad_token_id=cfg.pad_token_id,
                 ))
-            finished_dev = jnp.zeros((b,), bool)
-            cols: List[np.ndarray] = []
-            t = 0
-            while t < cfg.max_new_tokens and s + t < k_len:
-                (tokens, next_logits, cache, cache_valid, finished_dev,
-                 rng) = self._chunk_fns[key](
+            finished_dev = jnp.asarray(finished)
+            # whole chunks only: every write of a chunk starting at t lands in
+            # [s+t, s+t+chunk), which must fit the cache
+            while t < cfg.max_new_tokens and s + t + chunk <= k_len:
+                (tokens, chunk_lengths, next_logits, cache, cache_valid,
+                 finished_dev, rng) = self._chunk_fns[key](
                     self.params, next_logits, cache, cache_valid,
                     next_pos + t, jnp.int32(s + t), finished_dev, rng)
                 cols.append(np.asarray(tokens))
+                lengths = lengths + np.asarray(chunk_lengths)
                 t += chunk
+                done = bool(np.asarray(finished_dev).all())
                 cum = np.concatenate(cols, axis=1)[:, :cfg.max_new_tokens]
+                lengths = np.minimum(lengths, cfg.max_new_tokens)
+                self.last_lengths = lengths
+                if done:
+                    cum = cum[:, : max(1, int(lengths.max()))]
                 yield cum
-                if np.asarray(finished_dev).all():
+                if done:
                     return
-                if stopping is not None and stopping(cum):
-                    return
-            return
+            if t >= cfg.max_new_tokens:
+                return
+            # max_len bound the cache mid-chunk: finish the tail per-token
+            finished = np.asarray(finished_dev)
 
-        tokens_out: List[np.ndarray] = []
-        finished = np.zeros(b, dtype=bool)
-        token = None
-        for t in range(cfg.max_new_tokens):
+        while t < cfg.max_new_tokens:
             rng, sub = jax.random.split(rng)
             token = sample_token(next_logits, sub, cfg.temperature, cfg.top_p)
             tok_np = np.asarray(token)
             if cfg.eos_token_id is not None:
                 finished |= tok_np == cfg.eos_token_id
-            tokens_out.append(np.where(finished, cfg.pad_token_id, tok_np))
-            yield np.stack(tokens_out, axis=1)
+            lengths = lengths + (~finished).astype(np.int32)
+            self.last_lengths = lengths
+            cols.append(np.where(finished, cfg.pad_token_id, tok_np)[:, None]
+                        .astype(np.int32))
+            cum = np.concatenate(cols, axis=1)
             if finished.all():
-                break
+                yield cum[:, : max(1, int(lengths.max()))]
+                return
+            yield cum
+            if stopping is not None and stopping(cum):
+                return
 
             write_index = s + t
             if write_index >= k_len:
-                break
-            cache_valid = cache_valid.at[:, write_index].set(True)
+                return
+            cache_valid = cache_valid.at[:, write_index].set(
+                jnp.asarray(~finished))
             window = self.model.cfg.sliding_window
             if window is not None and write_index - window >= 0:
                 # sliding-window models: retire cache slots beyond the window
@@ -382,5 +413,4 @@ class GenerationEngine:
                 self.params, token[:, None], (next_pos + t)[:, None],
                 cache, cache_valid, jnp.int32(write_index),
             )
-            if stopping is not None and stopping(np.stack(tokens_out, axis=1)):
-                break
+            t += 1

@@ -29,20 +29,17 @@ def load_image_from_base64(image):
 
 
 def expand2square(pil_img, background_color):
-    """Pad to square, centering the image (reference mm_utils.py:153-164)."""
+    """Pad to a square canvas of the longer side, centering the image on a
+    ``background_color`` fill (behavior of reference mm_utils.py:153-164)."""
     from PIL import Image
 
-    width, height = pil_img.size
-    if width == height:
+    w, h = pil_img.size
+    if w == h:
         return pil_img
-    elif width > height:
-        result = Image.new(pil_img.mode, (width, width), background_color)
-        result.paste(pil_img, (0, (width - height) // 2))
-        return result
-    else:
-        result = Image.new(pil_img.mode, (height, height), background_color)
-        result.paste(pil_img, ((height - width) // 2, 0))
-        return result
+    side = max(w, h)
+    canvas = Image.new(pil_img.mode, (side, side), background_color)
+    canvas.paste(pil_img, ((side - w) // 2, (side - h) // 2))
+    return canvas
 
 
 _PIL_RESAMPLE = {"bicubic": 3, "bilinear": 2, "nearest": 0, "lanczos": 1}
@@ -129,25 +126,20 @@ from .constants import IMAGE_TOKEN_INDEX  # noqa: E402  (after numpy-only block)
 def tokenizer_image_token(prompt, tokenizer, image_token_index=IMAGE_TOKEN_INDEX,
                           return_tensors=None):
     """Tokenize a prompt containing ``<image>`` markers, splicing the image
-    token index between chunks (reference mm_utils.py:204-223). The BOS token
-    of the first chunk is kept; per-chunk BOS repeats are dropped."""
-    prompt_chunks = [tokenizer(chunk).input_ids for chunk in prompt.split("<image>")]
+    token index between chunks (behavior of reference mm_utils.py:204-223).
 
-    def insert_separator(X, sep):
-        return [ele for sublist in zip(X, [sep] * len(X)) for ele in sublist][:-1]
+    Each ``<image>``-separated chunk is tokenized independently, so the
+    tokenizer prepends BOS to every chunk; exactly one BOS (the first chunk's,
+    when present) survives in the output."""
+    chunks = [tokenizer(chunk).input_ids for chunk in prompt.split("<image>")]
+    has_bos = bool(chunks and chunks[0] and
+                   chunks[0][0] == tokenizer.bos_token_id)
 
-    input_ids = []
-    offset = 0
-    if (
-        len(prompt_chunks) > 0
-        and len(prompt_chunks[0]) > 0
-        and prompt_chunks[0][0] == tokenizer.bos_token_id
-    ):
-        offset = 1
-        input_ids.append(prompt_chunks[0][0])
-
-    for x in insert_separator(prompt_chunks, [image_token_index] * (offset + 1)):
-        input_ids.extend(x[offset:])
+    input_ids = [tokenizer.bos_token_id] if has_bos else []
+    for i, chunk in enumerate(chunks):
+        if i:
+            input_ids.append(image_token_index)
+        input_ids.extend(chunk[1:] if has_bos else chunk)
 
     if return_tensors is not None:
         if return_tensors in ("np", "jax"):
@@ -158,15 +150,15 @@ def tokenizer_image_token(prompt, tokenizer, image_token_index=IMAGE_TOKEN_INDEX
 
 def tokenizer_image_token_llama3(prompt, tokenizer, image_token_index=IMAGE_TOKEN_INDEX,
                                  return_tensors=None):
-    """LLaMA-3 variant without the BOS offset logic (mm_utils.py:226-240)."""
-    prompt_chunks = [tokenizer(chunk).input_ids for chunk in prompt.split("<image>")]
-
-    def insert_separator(X, sep):
-        return [ele for sublist in zip(X, [sep] * len(X)) for ele in sublist][:-1]
+    """LLaMA-3 variant without the BOS handling (mm_utils.py:226-240): chunks
+    are concatenated as-tokenized with one image index between them."""
+    chunks = [tokenizer(chunk).input_ids for chunk in prompt.split("<image>")]
 
     input_ids = []
-    for x in insert_separator(prompt_chunks, [image_token_index]):
-        input_ids.extend(x)
+    for i, chunk in enumerate(chunks):
+        if i:
+            input_ids.append(image_token_index)
+        input_ids.extend(chunk)
 
     if return_tensors is not None:
         if return_tensors in ("np", "jax"):
@@ -185,46 +177,50 @@ def get_model_name_from_path(model_path):
 
 
 class KeywordsStoppingCriteria:
-    """Stop generation when any keyword appears at the tail of the decoded
-    output (reference mm_utils.py:252-284). Framework-agnostic: operates on
-    numpy/int sequences produced by our decode loop."""
+    """Stop generation when any keyword appears at the tail of the output
+    (semantics of reference mm_utils.py:252-284). Operates on numpy/int
+    sequences (rows = prompt + generated ids), checking two ways:
+
+    - token-level: the row's trailing ids equal a keyword's token ids;
+    - text-level: the decoded tail window (at most the longest keyword's
+      token count, and never reaching into the prompt) contains a keyword.
+
+    ``__call__`` is batch-AND: stops only once every row has hit a keyword,
+    matching the reference and fitting ``GenerationEngine``'s ``stopping=``
+    hook directly.
+    """
 
     def __init__(self, keywords, tokenizer, input_ids):
-        self.keywords = keywords
-        self.keyword_ids = []
-        self.max_keyword_len = 0
-        for keyword in keywords:
-            cur_keyword_ids = tokenizer(keyword).input_ids
-            if len(cur_keyword_ids) > 1 and cur_keyword_ids[0] == tokenizer.bos_token_id:
-                cur_keyword_ids = cur_keyword_ids[1:]
-            self.max_keyword_len = max(self.max_keyword_len, len(cur_keyword_ids))
-            self.keyword_ids.append(np.asarray(cur_keyword_ids))
+        self.keywords = list(keywords)
         self.tokenizer = tokenizer
-        input_ids = np.atleast_2d(np.asarray(input_ids))
-        self.start_len = input_ids.shape[1]
+        self.start_len = np.atleast_2d(np.asarray(input_ids)).shape[1]
+        self.keyword_ids = []
+        for kw in self.keywords:
+            ids = list(tokenizer(kw).input_ids)
+            if len(ids) > 1 and ids[0] == tokenizer.bos_token_id:
+                ids = ids[1:]
+            self.keyword_ids.append(np.asarray(ids))
+        self.max_keyword_len = max(
+            (len(k) for k in self.keyword_ids), default=0)
+
+    def _row_hit(self, row: np.ndarray) -> bool:
+        for kw_ids in self.keyword_ids:
+            n = len(kw_ids)
+            if len(row) >= n and np.array_equal(row[-n:], kw_ids):
+                return True
+        window = min(len(row) - self.start_len, self.max_keyword_len)
+        if window <= 0:
+            return False
+        tail = self.tokenizer.batch_decode(
+            [row[-window:]], skip_special_tokens=True)[0]
+        return any(kw in tail for kw in self.keywords)
 
     def call_for_batch(self, output_ids) -> bool:
-        output_ids = np.atleast_2d(np.asarray(output_ids))
-        offset = min(output_ids.shape[1] - self.start_len, self.max_keyword_len)
-        for keyword_id in self.keyword_ids:
-            if output_ids.shape[1] >= keyword_id.shape[0] and np.array_equal(
-                output_ids[0, -keyword_id.shape[0]:], keyword_id
-            ):
-                return True
-        if offset > 0:
-            outputs = self.tokenizer.batch_decode(
-                output_ids[:, -offset:], skip_special_tokens=True
-            )[0]
-            for keyword in self.keywords:
-                if keyword in outputs:
-                    return True
-        return False
+        return self._row_hit(np.atleast_2d(np.asarray(output_ids))[0])
 
     def __call__(self, output_ids) -> bool:
-        output_ids = np.atleast_2d(np.asarray(output_ids))
-        return all(
-            self.call_for_batch(output_ids[i : i + 1]) for i in range(output_ids.shape[0])
-        )
+        rows = np.atleast_2d(np.asarray(output_ids))
+        return all(self._row_hit(row) for row in rows)
 
 
 # ---------------------------------------------------------------------------

@@ -277,19 +277,20 @@ def load_pretrained_model(
 ):
     """(tokenizer, model, image_processor_list, context_len) — reference
     model/builder.py:29-173 semantics on the JAX stack."""
-    if load_4bit:
-        raise NotImplementedError(
-            "load_4bit is not supported; use load_8bit (weight-only int8 "
-            "decoder GEMMs via the Pallas dequant matmul, ops/quant.py).")
+    if load_8bit and load_4bit:
+        raise ValueError("load_8bit and load_4bit are mutually exclusive")
     from transformers import AutoTokenizer
 
     from ..checkpoint.hf_llm import convert_cambrian
 
+    quant_mode = "int8" if load_8bit else "int4" if load_4bit else None
     config = load_config(model_path)
-    if load_8bit:
-        # weight-only int8 decoder GEMMs (reference builder.py:35-44 loads
-        # bitsandbytes int8 linears; lm_head/embeddings stay full precision)
-        config = config.replace(quantize="int8")
+    if quant_mode:
+        # weight-only quantized decoder GEMMs (reference builder.py:35-44
+        # loads bitsandbytes int8/nf4 linears; lm_head/embeddings stay full
+        # precision). int4 packs two nibbles per byte with K-groupwise scales
+        # (ops/quant.py) — the 34B-on-small-slices capacity option.
+        config = config.replace(quantize=quant_mode)
     towers = build_vision_tower_aux_list(
         config.mm_vision_tower_aux_list,
         config.mm_vision_tower_aux_token_len_list,
@@ -299,13 +300,14 @@ def load_pretrained_model(
 
     sd = _load_state_dict(model_path)
     params = {"params": jax.tree.map(jnp.asarray, convert_cambrian(sd, config))}
-    if load_8bit:
+    if quant_mode:
         from ..ops.quant import quantize_dense_tree
 
         layers = params["params"]
         for name in list(layers):
             if name.startswith("layers_"):
-                layers[name] = quantize_dense_tree(layers[name])
+                layers[name] = quantize_dense_tree(layers[name],
+                                                   mode=quant_mode)
     tower_params = [load_tower_params(t, jax.random.PRNGKey(i))
                     for i, t in enumerate(towers)]
 

@@ -30,11 +30,15 @@ from ..config import CambrianConfig
 
 def decoder_dense(cfg: CambrianConfig, features: int, use_bias: bool,
                   dtype, name: str):
-    """nn.Dense, or QuantDense over int8 weights when cfg.quantize == "int8"
-    and the site is a decoder GEMM target (the load_8bit serving path —
+    """nn.Dense, or a quantized Dense when cfg.quantize is set and the site
+    is a decoder GEMM target (the load_8bit / load_4bit serving paths —
     reference model/builder.py:35-44 via bitsandbytes)."""
     if cfg.quantize == "int8" and name in DECODER_QUANT_TARGETS:
         return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    if cfg.quantize == "int4" and name in DECODER_QUANT_TARGETS:
+        from ...ops.quant import QuantDense4
+
+        return QuantDense4(features, use_bias=use_bias, dtype=dtype, name=name)
     return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
 
 

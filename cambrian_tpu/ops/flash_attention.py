@@ -16,9 +16,9 @@ Masking is structural, not a materialized [S, S] tensor: a per-key validity
 vector (the packing mask, train_fsdp.py:1089-1165) plus causal / sliding-
 window predicates built from block indices via iota.
 
-Differentiable via custom_vjp; the backward pass currently recomputes with
-the XLA einsum path (correct; a fused backward kernel is a planned
-optimization).
+Differentiable via custom_vjp with a fused Pallas backward (_attn_bwd_kernel
+below): dq/dk/dv are accumulated blockwise in VMEM, so neither direction ever
+materializes an [S, S] tensor in HBM.
 """
 
 import functools

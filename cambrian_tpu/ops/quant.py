@@ -1,14 +1,19 @@
-"""Weight-only int8 quantization + fused Pallas dequant-matmul.
+"""Weight-only int8/int4 quantization + fused Pallas dequant-matmuls.
 
 The reference loads 4/8-bit weights through bitsandbytes CUDA kernels
 (model/builder.py:35-44, train_fsdp.py:1455-1471); the TPU-native equivalent
-(SURVEY.md §2.9) keeps weights in HBM as int8 with per-output-channel fp32
-scales and dequantizes inside the matmul kernel — halving weight HBM traffic,
-which is what decode-time GEMMs are bound by.
+(SURVEY.md §2.9) keeps weights in HBM as int8 — or int4 nibble-packed two per
+int8 byte — and dequantizes inside the matmul kernel, halving (int8) or
+quartering (int4) the weight HBM traffic that decode-time GEMMs are bound by.
 
-Kernel: grid over (M blocks, N blocks); the int8 weight tile is DMA'd to
-VMEM, cast to bf16 in-register, matmul'd on the MXU with fp32 accumulation,
-and scaled by the per-column factors once at the end.
+int8: per-output-channel symmetric scales (bnb load_in_8bit counterpart).
+int4: K-groupwise symmetric scales (group=128 rows per scale, the accuracy
+mechanism bnb's nf4 gets from 64-element blocks; model/builder.py:35-44) with
+in-kernel nibble unpack (shift/sign-extend on the VPU).
+
+Kernels: grid over (M blocks, N blocks, K blocks), K innermost with an fp32
+VMEM accumulator; weight tiles are DMA'd to VMEM, widened in-register, and
+matmul'd on the MXU.
 """
 
 import functools
@@ -110,6 +115,164 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     return out[0, :m, :n]
 
 
+# ---------------------------------------------------------------------------
+# int4 (nibble-packed, K-groupwise scales)
+# ---------------------------------------------------------------------------
+
+INT4_GROUP = 128  # unpacked K rows per scale (bnb nf4 uses 64-elem blocks)
+
+
+def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float -> (packed int8 [K//2, N], fp32 scales [K//group, N]).
+
+    Symmetric K-groupwise quantization to [-8, 7]; consecutive K rows (2r,
+    2r+1) share byte r as (low, high) nibbles."""
+    k, n = w.shape
+    assert k % 2 == 0 and k % group == 0, (k, group)
+    w32 = w.astype(jnp.float32).reshape(k // group, group, n)
+    absmax = jnp.max(jnp.abs(w32), axis=1)
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / scale[:, None, :]), -8, 7)
+    q = q.astype(jnp.int8).reshape(k, n)
+    low, high = q[0::2], q[1::2]
+    packed = (low & jnp.int8(0xF)) | (high << 4)
+    return packed, scale
+
+
+def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray,
+                    dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Inverse of quantize_int4 -> [K, N] dtype."""
+    k2, n = packed.shape
+    w32 = packed.astype(jnp.int32)
+    low = (w32 << 28) >> 28      # sign-extended low nibble
+    high = (w32 << 24) >> 28     # sign-extended high nibble
+    q = jnp.stack([low, high], axis=1).reshape(2 * k2, n)
+    g = scale.shape[0]
+    deq = q.reshape(g, -1, n).astype(jnp.float32) * scale[:, None, :]
+    return deq.reshape(2 * k2, n).astype(dtype)
+
+
+def _q4_matmul_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, acc_ref, *,
+                      k_blocks):
+    """(m, n, k) grid cell of the int4 matmul; K innermost with an fp32 VMEM
+    accumulator. The weight tile arrives nibble-packed [bk/2, bn]; nibbles are
+    sign-extended on the VPU and scaled (bf16) groupwise before two MXU
+    matmuls against the pre-split even/odd activation rows — splitting x
+    outside the kernel avoids a stride-2 lane slice Mosaic handles poorly."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xe = xe_ref[0]                            # [bm, bk/2] rows 0,2,4,..
+    xo = xo_ref[0]                            # [bm, bk/2] rows 1,3,5,..
+    w8 = w_ref[0].astype(jnp.int32)           # [bk/2, bn]
+    bk2, bn = w8.shape
+    cdt = xe.dtype
+    scale = scale_ref[0].astype(cdt)          # [groups_in_block, bn]
+    g = scale.shape[0]
+    low = ((w8 << 28) >> 28).astype(cdt)
+    high = ((w8 << 24) >> 28).astype(cdt)
+    # both nibbles of packed row r belong to unpacked group (2r)//group
+    lowd = (low.reshape(g, bk2 // g, bn) * scale[:, None, :]).reshape(bk2, bn)
+    highd = (high.reshape(g, bk2 // g, bn) * scale[:, None, :]).reshape(bk2, bn)
+    acc_ref[...] += jax.lax.dot_general(
+        xe, lowd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot_general(
+        xo, highd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kb == k_blocks - 1)
+    def _write():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
+                block_m: int = 256, block_n: int = 512,
+                group: int = INT4_GROUP) -> jnp.ndarray:
+    """x [M, K] @ dequant(w_q4 [K//2, N] packed, scale [K//group, N]) ->
+    [M, N] x.dtype. Falls back to XLA dequant+matmul off TPU."""
+    m, k = x.shape
+    k2, n = w_q4.shape
+    assert k == 2 * k2 and k % group == 0, (k, k2, group)
+    if jax.devices()[0].platform != "tpu":
+        return (x @ dequantize_int4(w_q4, scale, x.dtype)).astype(x.dtype)
+
+    m_pad = _round_up(m, block_m)
+    n_pad = _round_up(n, block_n)
+    block_k = min(2048, _round_up(k, 2 * group))
+    k_pad = _round_up(k, block_k)
+    k_blocks = k_pad // block_k
+    xp = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))
+    xe = xp[:, 0::2][None]
+    xo = xp[:, 1::2][None]
+    wp = jnp.pad(w_q4, ((0, (k_pad - k) // 2), (0, n_pad - n)))[None]
+    sp = jnp.pad(scale.astype(jnp.float32),
+                 ((0, (k_pad - k) // group), (0, n_pad - n)),
+                 constant_values=1.0)[None]
+
+    grid = (m_pad // block_m, n_pad // block_n, k_blocks)
+    gpb = block_k // group  # scale rows per k block
+    out = pl.pallas_call(
+        functools.partial(_q4_matmul_kernel, k_blocks=k_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_m, block_k // 2),
+                         lambda i, j, kb: (0, i, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_m, block_k // 2),
+                         lambda i, j, kb: (0, i, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k // 2, block_n),
+                         lambda i, j, kb: (0, kb, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpb, block_n),
+                         lambda i, j, kb: (0, kb, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_m, block_n),
+                               lambda i, j, kb: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad, n_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * m_pad * n_pad * (k_pad // 2),
+            bytes_accessed=(xe.size + xo.size) * xp.dtype.itemsize
+            + wp.size + sp.size * 4,
+            transcendentals=0,
+        ),
+    )(xe, xo, wp, sp)
+    return out[0, :m, :n]
+
+
+class QuantDense4(nn.Module):
+    """Dense over nibble-packed int4 weights with K-groupwise fp32 scales —
+    the ``load_4bit`` serving path (reference bitsandbytes nf4,
+    model/builder.py:35-44). Params: ``kernel_q4`` int8 [K//2, N],
+    ``scale`` fp32 [K//group, N], optional ``bias``."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    group: int = INT4_GROUP
+
+    @nn.compact
+    def __call__(self, x):
+        k = x.shape[-1]
+        kernel_q4 = self.param("kernel_q4", nn.initializers.zeros,
+                               (k // 2, self.features), jnp.int8)
+        scale = self.param("scale", nn.initializers.ones,
+                           (k // self.group, self.features), jnp.float32)
+        shape = x.shape
+        x2 = x.reshape(-1, k)
+        if x2.dtype not in (jnp.bfloat16, jnp.float32):
+            x2 = x2.astype(self.dtype)
+        y = int4_matmul(x2, kernel_q4, scale,
+                        block_m=_pick_block_m(x2.shape[0]), group=self.group)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y.reshape(*shape[:-1], self.features)
+
+
 def quantize_params(params, targets=("q_proj", "k_proj", "v_proj", "o_proj",
                                      "gate_proj", "up_proj", "down_proj",
                                      "lm_head")):
@@ -173,11 +336,13 @@ DECODER_QUANT_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj",
                          "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_dense_tree(params, targets=DECODER_QUANT_TARGETS):
+def quantize_dense_tree(params, targets=DECODER_QUANT_TARGETS,
+                        mode: str = "int8"):
     """Convert matching ``{...: {"kernel": w}}`` subtrees of a params tree to
-    the QuantDense layout ``{"kernel_q": int8, "scale": fp32}`` (bias kept).
-    Returns a new tree; non-matching leaves are untouched."""
-    import numpy as np
+    the QuantDense layout (``{"kernel_q": int8, "scale": fp32}``, or
+    ``{"kernel_q4", "scale"}`` for ``mode="int4"``); bias kept. Returns a new
+    tree; non-matching leaves are untouched."""
+    assert mode in ("int8", "int4"), mode
 
     def walk(tree, path):
         if not isinstance(tree, dict):
@@ -189,8 +354,13 @@ def quantize_dense_tree(params, targets=DECODER_QUANT_TARGETS):
                 and getattr(sub["kernel"], "ndim", 0) == 2
                 and any(t == name for t in targets)
             ):
-                q, s = quantize_int8(jnp.asarray(sub["kernel"]))
-                new = {"kernel_q": q, "scale": s}
+                w = jnp.asarray(sub["kernel"])
+                if mode == "int4":
+                    q, s = quantize_int4(w)
+                    new = {"kernel_q4": q, "scale": s}
+                else:
+                    q, s = quantize_int8(w)
+                    new = {"kernel_q": q, "scale": s}
                 if "bias" in sub:
                     new["bias"] = jnp.asarray(sub["bias"], jnp.float32)
                 out[name] = new

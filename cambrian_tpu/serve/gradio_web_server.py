@@ -55,6 +55,32 @@ def save_image_if_new(image, t):
     return image_hash
 
 
+def log_vote(vote_type: str, model_name: str, state: dict, ip: str = None):
+    """Append an upvote/downvote/flag record to the conversation log
+    (reference gradio_web_server.py:81-109 format: tstamp/type/model/state)."""
+    record = {
+        "tstamp": round(time.time(), 4),
+        "type": vote_type,
+        "model": model_name,
+        "state": state,
+    }
+    if ip is not None:
+        record["ip"] = ip
+    with open(get_conv_log_filename(), "a") as f:
+        f.write(json.dumps(record) + "\n")
+    return record
+
+
+def pop_last_exchange(chat_history):
+    """Regenerate helper (gradio_web_server.py:111-118 semantics on our
+    tuple-based history): drop the last assistant reply and return the
+    (shortened history, last user message) so the UI can re-submit it."""
+    if not chat_history:
+        return chat_history, ""
+    last_user, _last_reply = chat_history[-1]
+    return chat_history[:-1], last_user
+
+
 def select_conv_mode(model_name: str) -> str:
     """Per-model template map (gradio_web_server.py:164)."""
     lowered = model_name.lower()
@@ -130,6 +156,12 @@ def build_demo(embed_mode, controller_url, concurrency_count=16,
                 textbox = gr.Textbox(show_label=False,
                                      placeholder="Enter text and press ENTER")
                 submit_btn = gr.Button(value="Send")
+                with gr.Row():
+                    upvote_btn = gr.Button(value="👍 Upvote")
+                    downvote_btn = gr.Button(value="👎 Downvote")
+                    flag_btn = gr.Button(value="⚠️ Flag")
+                    regenerate_btn = gr.Button(value="🔄 Regenerate")
+                    clear_btn = gr.Button(value="🗑️ Clear")
 
         def respond(message, chat_history, image, model_name, temp, tp, mot):
             conv_mode = select_conv_mode(model_name)
@@ -166,10 +198,31 @@ def build_demo(embed_mode, controller_url, concurrency_count=16,
                 }) + "\n")
             return "", chat_history
 
+        def vote(vote_type, chat_history, model_name):
+            if chat_history:
+                log_vote(vote_type, model_name,
+                         {"history": chat_history[-1:]})
+            return chat_history
+
+        def on_regenerate(chat_history, image, model_name, temp, tp, mot):
+            history, last_user = pop_last_exchange(chat_history)
+            if not last_user:
+                return "", history
+            return respond(last_user, history, image, model_name, temp, tp,
+                           mot)
+
         inputs = [textbox, chatbot, imagebox, model_selector, temperature,
                   top_p, max_output_tokens]
         textbox.submit(respond, inputs, [textbox, chatbot])
         submit_btn.click(respond, inputs, [textbox, chatbot])
+        upvote_btn.click(lambda h, m: vote("upvote", h, m),
+                         [chatbot, model_selector], [chatbot])
+        downvote_btn.click(lambda h, m: vote("downvote", h, m),
+                           [chatbot, model_selector], [chatbot])
+        flag_btn.click(lambda h, m: vote("flag", h, m),
+                       [chatbot, model_selector], [chatbot])
+        regenerate_btn.click(on_regenerate, inputs[1:], [textbox, chatbot])
+        clear_btn.click(lambda: ("", []), [], [textbox, chatbot])
     return demo
 
 

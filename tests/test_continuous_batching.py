@@ -215,3 +215,43 @@ def test_chunked_mixed_sampling_configs(bundle):
     np.testing.assert_array_equal(outs[0], np.asarray(greedy_ref))
     assert len(outs[1]) == 6
     assert all(0 <= t < model.config.vocab_size for t in outs[1])
+
+
+def test_chunked_capacity_capped_slot_does_not_degrade_batch(bundle):
+    """A slot within one token of max_len caps only ITSELF (via its per-slot
+    remaining budget) while co-scheduled slots keep the full chunk width
+    (ADVICE r2: the old min-over-slots headroom degraded everyone to
+    per-token). The capped slot force-retires at capacity; the other slot's
+    tokens are unaffected."""
+    tokenizer, model = bundle
+    rng = np.random.default_rng(7)
+    s1, s2 = 30, 10
+
+    def prompt(n):
+        ids = rng.integers(5, model.config.vocab_size, (1, n)).astype(np.int32)
+        return ids, np.ones_like(ids, bool), np.arange(n)[None].astype(np.int32)
+
+    ids, mask, pos = prompt(s1)
+    ids2, mask2, pos2 = prompt(s2)
+
+    # reference: the short-capacity request alone at a roomy max_len
+    ref_engine = GenerationEngine(model.lm, model.params, model.towers,
+                                  max_len=128, cache_dtype=jnp.float32)
+    ref_long = ref_engine.generate(
+        ids2, mask2, pos2, None, None,
+        GenerationConfig(max_new_tokens=10, temperature=0.0))[0]
+
+    # max_len leaves slot-1 only 3 cache writes of headroom; slot-2 has room
+    max_len = s1 + 3
+    cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
+                                  max_len=max_len, cache_dtype=jnp.float32)
+    r_capped = cb.submit(ids, mask, pos, config=GenerationConfig(
+        max_new_tokens=10, temperature=0.0))
+    r_free = cb.submit(ids2, mask2, pos2, config=GenerationConfig(
+        max_new_tokens=10, temperature=0.0))
+    outs = cb.run_until_complete([r_capped, r_free], chunk=4)
+
+    assert len(outs[0]) == max_len - s1  # capacity-capped, force-retired
+    assert r_capped.finished
+    assert len(outs[1]) == 10
+    np.testing.assert_array_equal(outs[1], np.asarray(ref_long)[: len(outs[1])])

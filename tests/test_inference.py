@@ -113,3 +113,69 @@ def test_chunked_stream_matches_per_token(engine_fixture=None):
     assert chunked.shape[1] == 11
     assert n4 < n1  # 3 chunk dispatches vs 11 per-token dispatches
     np.testing.assert_array_equal(per_token, chunked)
+
+
+def test_chunked_stream_capacity_tail():
+    """When max_len binds mid-chunk, the chunked path must fall back to
+    per-token for the tail instead of letting dynamic_update_slice clamp
+    writes into the last cache row (ADVICE r2: silent KV corruption).
+    Greedy tokens must match the per-token path exactly."""
+    import numpy as np
+
+    import __graft_entry__
+    from cambrian_tpu.infer.engine import GenerationConfig, GenerationEngine
+
+    cfg, model, towers, params, tower_params, batch = __graft_entry__._build(
+        num_towers=1, batch=2)
+    feats = [t.apply(tp, px)
+             for t, tp, px in zip(towers, tower_params, batch["images"])]
+    s = batch["input_ids"].shape[1]
+    # max_len - s = 10: NOT a multiple of stream_chunk 4 -> 2 whole chunks
+    # (8 writes) + per-token tail
+    engine = GenerationEngine(model, params, towers=towers, max_len=s + 10)
+    args = (np.asarray(batch["input_ids"]), np.asarray(batch["attention_mask"]),
+            np.asarray(batch["position_ids"]))
+
+    def run(stream_chunk):
+        out = None
+        for out in engine.generate_stream(
+                *args, aux_features=feats, aux_masks=batch["aux_masks"],
+                config=GenerationConfig(max_new_tokens=16, temperature=0.0,
+                                        stream_chunk=stream_chunk)):
+            pass
+        return out
+
+    per_token = run(1)
+    chunked = run(4)
+    # capacity bounds both paths to the same count (10 writes + 1 final token)
+    assert per_token.shape == chunked.shape
+    np.testing.assert_array_equal(per_token, chunked)
+
+
+def test_generate_tracks_lengths():
+    """generate() leaves per-sample lengths in engine.last_lengths and trims
+    by length, never by pad-matching (VERDICT r2 weak 8)."""
+    import numpy as np
+
+    import __graft_entry__
+    from cambrian_tpu.infer.engine import GenerationConfig, GenerationEngine
+
+    cfg, model, towers, params, tower_params, batch = __graft_entry__._build(
+        num_towers=1, batch=2)
+    feats = [t.apply(tp, px)
+             for t, tp, px in zip(towers, tower_params, batch["images"])]
+    engine = GenerationEngine(model, params, towers=towers, max_len=128)
+    args = (np.asarray(batch["input_ids"]), np.asarray(batch["attention_mask"]),
+            np.asarray(batch["position_ids"]))
+    gcfg = GenerationConfig(max_new_tokens=7, temperature=0.0)
+
+    out_dev = engine.generate(*args, feats, batch["aux_masks"], gcfg)
+    lens_dev = engine.last_lengths.copy()
+    out_host = engine.generate(*args, feats, batch["aux_masks"], gcfg,
+                               on_device=False)
+    lens_host = engine.last_lengths.copy()
+
+    np.testing.assert_array_equal(lens_dev, lens_host)
+    assert out_dev.shape[1] == max(1, lens_dev.max())
+    assert (lens_dev >= 0).all() and (lens_dev <= 7).all()
+    np.testing.assert_array_equal(out_dev, out_host[:, : out_dev.shape[1]])

@@ -100,3 +100,37 @@ def test_get_model_name_from_path():
 
 def test_select_best_resolution():
     assert select_best_resolution((800, 600), [(672, 672), (1344, 672)]) == (1344, 672)
+
+
+def test_keywords_stopping_criteria():
+    """Stop-at-keyword semantics (reference mm_utils.py:252-284): token-level
+    tail match, text-level decoded match within the keyword-sized window, and
+    batch-AND across rows."""
+    import numpy as np
+
+    from cambrian_tpu.mm_utils import KeywordsStoppingCriteria
+
+    class FakeTok:
+        bos_token_id = 1
+
+        def __call__(self, text):
+            class R:
+                pass
+            r = R()
+            # "</s>" -> [1, 9]; anything else -> [1, 7, 8]
+            r.input_ids = [1, 9] if text == "</s>" else [1, 7, 8]
+            return r
+
+        def batch_decode(self, rows, skip_special_tokens=True):
+            return ["</s>" if 9 in np.asarray(r) else "xx" for r in rows]
+
+    prompt = np.asarray([[1, 5, 6]])
+    crit = KeywordsStoppingCriteria(["</s>"], FakeTok(), prompt)
+    assert crit.max_keyword_len == 1          # BOS stripped from keyword ids
+    assert not crit(np.asarray([[1, 5, 6, 4]]))      # no keyword
+    assert crit(np.asarray([[1, 5, 6, 9]]))          # token-level tail hit
+    assert not crit(np.asarray([[1, 5, 6]]))         # nothing generated yet
+    # batch-AND: stops only when every row has hit
+    both = np.asarray([[1, 5, 6, 9], [1, 5, 6, 4]])
+    assert not crit(both)
+    assert crit(np.asarray([[1, 5, 6, 9], [1, 5, 6, 9]]))

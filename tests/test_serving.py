@@ -115,3 +115,38 @@ def test_generate_stream_image_count_mismatch(stack):
     chunks = [c for c in r.iter_lines(decode_unicode=False, delimiter=b"\0") if c]
     data = json.loads(chunks[-1].decode())
     assert data["error_code"] == 1  # graceful error, not a crash
+
+
+def test_vote_log_format(tmp_path, monkeypatch):
+    """upvote/downvote/flag records match the reference's conv-log schema
+    (gradio_web_server.py:81-109): tstamp/type/model/state(+ip), one JSON
+    object per line, appended to the dated conversation log."""
+    import json
+
+    from cambrian_tpu.serve import gradio_web_server as gws
+
+    monkeypatch.setattr(gws, "LOGDIR", str(tmp_path))
+    state = {"history": [["hi <image>", "a reply"]]}
+    gws.log_vote("upvote", "cambrian-tiny", state, ip="1.2.3.4")
+    gws.log_vote("downvote", "cambrian-tiny", state)
+    gws.log_vote("flag", "cambrian-tiny", state)
+
+    logfile = gws.get_conv_log_filename()
+    rows = [json.loads(l) for l in open(logfile)]
+    assert [r["type"] for r in rows] == ["upvote", "downvote", "flag"]
+    assert all(r["model"] == "cambrian-tiny" for r in rows)
+    assert rows[0]["ip"] == "1.2.3.4" and "ip" not in rows[1]
+    assert all(r["state"] == state for r in rows)
+    assert all(isinstance(r["tstamp"], float) for r in rows)
+
+
+def test_regenerate_pops_last_exchange():
+    """Regenerate semantics (gradio_web_server.py:111-118): the last
+    assistant reply is dropped and the last user message is re-submitted."""
+    from cambrian_tpu.serve.gradio_web_server import pop_last_exchange
+
+    history = [["q1", "a1"], ["q2", "a2"]]
+    shorter, last_user = pop_last_exchange(history)
+    assert shorter == [["q1", "a1"]]
+    assert last_user == "q2"
+    assert pop_last_exchange([]) == ([], "")

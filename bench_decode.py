@@ -129,6 +129,144 @@ def main():
 def _main_and_serving():
     main()
     serving_8b_int8()
+    _clear_device()
+    serving_8b_int8_end_to_end()
+
+
+def _clear_device():
+    """Free params + caches between sections: two model families' weights
+    alive together OOM the 16 GB HBM (docs/PERF_NOTES.md)."""
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+
+
+def serving_8b_int8_end_to_end():
+    """THE BASELINE.md metric as written (VERDICT r2 item 2 / missing 2):
+    image bytes in -> tokens out through the real worker path, one
+    measurement. JPEG decode + per-tower host preprocess (process_images) ->
+    4 production tower forwards -> SVA prefill -> chunked generate_stream on
+    the 8B-int8 single-chip config. Reports p50 TTFT *including* encode, and
+    sustained tokens/sec.
+    """
+    import gc
+    from io import BytesIO
+
+    import jax
+    import jax.numpy as jnp
+
+    from cambrian_tpu.constants import IMAGE_TOKEN_INDEX
+    from cambrian_tpu.data.packing import prepare_multimodal_data
+    from cambrian_tpu.infer.engine import GenerationConfig, GenerationEngine
+    from cambrian_tpu.mm_utils import process_images
+    from cambrian_tpu.models.cambrian import CambrianLM
+    from cambrian_tpu.models.config import CAMBRIAN_SVA, CambrianConfig, LLAMA3_8B
+    from cambrian_tpu.models.encoders.base import build_vision_tower_aux_list
+
+    dtype = jnp.bfloat16
+    cfg = CambrianConfig(**{**LLAMA3_8B, **CAMBRIAN_SVA, "image_position": 35,
+                            "tokenizer_model_max_length": 2048,
+                            "quantize": "int8"})
+    towers = build_vision_tower_aux_list(
+        cfg.mm_vision_tower_aux_list, cfg.mm_vision_tower_aux_token_len_list,
+        dtype=dtype)
+    model = CambrianLM(cfg, tuple(t.hidden_size for t in towers), dtype=dtype)
+    rng = np.random.default_rng(0)
+    MAX_NEW = 128
+
+    # a JPEG on the wire, like the worker receives (b64-decoded)
+    from PIL import Image
+    img_arr = rng.integers(0, 255, (512, 640, 3), dtype=np.uint8)
+    buf = BytesIO()
+    Image.fromarray(img_arr).save(buf, format="JPEG", quality=90)
+    jpeg_bytes = buf.getvalue()
+
+    batch = 1
+    ids = rng.integers(5, cfg.vocab_size, (batch, 64)).astype(np.int64)
+    ids[:, cfg.image_position] = IMAGE_TOKEN_INDEX
+    mask = np.ones((batch, 64), dtype=bool)
+    pids, _, pmask, ppos, aux_masks = prepare_multimodal_data(
+        ids, ids.copy(), mask, [(640, 512)] * batch, cfg.image_token_len,
+        cfg.mm_vision_tower_aux_token_len_list, 700,
+    )
+    aux = [jnp.asarray(m) for m in aux_masks]
+
+    tower_params = []
+    for i, t in enumerate(towers):
+        shapes = jax.eval_shape(t.init, jax.random.PRNGKey(i))
+        leaves, treedef = jax.tree.flatten(shapes)
+        key = jax.random.PRNGKey(100 + i)
+        tower_params.append(jax.tree.unflatten(treedef, [
+            (0.02 * jax.random.normal(jax.random.fold_in(key, j), s.shape,
+                                      s.dtype)).astype(s.dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype)
+            for j, s in enumerate(leaves)
+        ]))
+
+    # decoder params directly in the int8 layout (no bf16 peak)
+    feat_shapes = [
+        jax.ShapeDtypeStruct((batch, tok, t.hidden_size), dtype)
+        for tok, t in zip(cfg.mm_vision_tower_aux_token_len_list, towers)
+    ]
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(pids),
+                           jnp.asarray(pmask), jnp.asarray(ppos),
+                           feat_shapes, aux))
+
+    def rand_leaf(i, s):
+        key = jax.random.fold_in(jax.random.PRNGKey(11), i)
+        if s.dtype == jnp.int8:
+            return jax.random.randint(key, s.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        return 0.02 * jax.random.normal(key, s.shape, s.dtype)
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    params = jax.tree.unflatten(
+        treedef, [rand_leaf(i, s) for i, s in enumerate(leaves)])
+
+    engine = GenerationEngine(model, params, towers=towers,
+                              max_len=700 + MAX_NEW + 16, cache_dtype=dtype)
+    gcfg = GenerationConfig(max_new_tokens=MAX_NEW, temperature=0.0,
+                            eos_token_id=None, stream_chunk=16)
+    image_processors = [t.image_processor for t in towers]
+
+    def serve_once():
+        t0 = time.perf_counter()
+        # host: JPEG decode + per-tower pad-square/resize/normalize
+        pil = Image.open(BytesIO(jpeg_bytes))
+        per_tower = process_images([pil], image_processors, cfg)
+        images = [jnp.asarray(px, dtype) for px in per_tower]
+        feats = engine.encode_images(tower_params, images)
+        first = None
+        out = None
+        for out in engine.generate_stream(pids, pmask, ppos, feats, aux, gcfg):
+            if first is None:
+                first = time.perf_counter() - t0
+        return first, time.perf_counter() - t0, out
+
+    serve_once()  # warm/compile
+    firsts, totals = [], []
+    for _ in range(5):
+        gc.collect()
+        f, tot, out = serve_once()
+        firsts.append(f)
+        totals.append(tot)
+    first = float(np.median(firsts))
+    total = float(np.median(totals))
+    # sustained rate excludes the first chunk (TTFT covers it)
+    tps = batch * (MAX_NEW - gcfg.stream_chunk) / max(total - first, 1e-9)
+    print(json.dumps({
+        "metric": "llama3-8B int8 END-TO-END serving: JPEG bytes -> "
+                  "preprocess -> 4-tower encode+SVA -> prefill -> chunked "
+                  "decode (bs=1, 664-tok prompt, 128 new, v5e-1)",
+        "ttft_ms": round(first * 1000, 1),
+        "tokens_per_sec": round(tps, 1),
+        "total_s": round(total, 3),
+    }))
 
 
 def serving_8b_int8():

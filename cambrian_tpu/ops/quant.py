@@ -122,6 +122,12 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
 INT4_GROUP = 128  # unpacked K rows per scale (bnb nf4 uses 64-elem blocks)
 
 
+def int4_group(k: int, group: int = INT4_GROUP) -> int:
+    """Effective scale-group for a K dim: the default when it divides K
+    (every production decoder width), else one group spanning K."""
+    return group if k % group == 0 else k
+
+
 def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[K, N] float -> (packed int8 [K//2, N], fp32 scales [K//group, N]).
@@ -129,6 +135,7 @@ def quantize_int4(w: jnp.ndarray, group: int = INT4_GROUP
     Symmetric K-groupwise quantization to [-8, 7]; consecutive K rows (2r,
     2r+1) share byte r as (low, high) nibbles."""
     k, n = w.shape
+    group = int4_group(k, group)
     assert k % 2 == 0 and k % group == 0, (k, group)
     w32 = w.astype(jnp.float32).reshape(k // group, group, n)
     absmax = jnp.max(jnp.abs(w32), axis=1)
@@ -195,6 +202,7 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
     [M, N] x.dtype. Falls back to XLA dequant+matmul off TPU."""
     m, k = x.shape
     k2, n = w_q4.shape
+    group = int4_group(k, group)
     assert k == 2 * k2 and k % group == 0, (k, k2, group)
     if jax.devices()[0].platform != "tpu":
         return (x @ dequantize_int4(w_q4, scale, x.dtype)).astype(x.dtype)
@@ -256,10 +264,11 @@ class QuantDense4(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = x.shape[-1]
+        group = int4_group(k, self.group)
         kernel_q4 = self.param("kernel_q4", nn.initializers.zeros,
                                (k // 2, self.features), jnp.int8)
         scale = self.param("scale", nn.initializers.ones,
-                           (k // self.group, self.features), jnp.float32)
+                           (k // group, self.features), jnp.float32)
         shape = x.shape
         x2 = x.reshape(-1, k)
         if x2.dtype not in (jnp.bfloat16, jnp.float32):

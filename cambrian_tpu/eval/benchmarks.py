@@ -7,6 +7,7 @@ environments. CV-Bench's three splits (ade/coco/omni) are first-class
 (BASELINE.json configs).
 """
 
+import re
 import string
 from typing import Dict, List, Optional, Sequence
 
@@ -31,10 +32,19 @@ SHORT_HINT = "\nAnswer the question using a single word or phrase."
 MCQ_HINT = "\nAnswer with the option's letter from the given choices directly."
 
 
-def _get(record, *keys, default=None):
+_REQUIRED = object()
+
+
+def _get(record, *keys, default=_REQUIRED):
     for k in keys:
         if k in record and record[k] is not None:
             return record[k]
+    if default is _REQUIRED:
+        # strict field resolution: a schema mismatch fails loudly at row 1
+        # instead of silently scoring garbage (VERDICT r2 item 5)
+        raise KeyError(
+            f"record has none of the fields {keys}; available: "
+            f"{sorted(record)[:25]}")
     return default
 
 
@@ -43,27 +53,86 @@ def _format_choices(choices: Sequence[str]) -> str:
     return "\n".join(f"{letters[i]}. {c}" for i, c in enumerate(choices))
 
 
+def _choices_of(record) -> List[str]:
+    """Choice list across the suite's real layouts: list-valued
+    choices/options/candidates, MMMU's string-repr options
+    (mmmu_eval.py:42 parses the quoted items), SEED's choice_a..d columns,
+    and mmbench-style per-letter columns."""
+    raw = _get(record, "choices", "options", "candidates", default=None)
+    if isinstance(raw, str):
+        parsed = re.findall(r"'(.*?)'", raw)
+        return parsed if parsed else [raw]
+    if raw is not None:
+        return [str(c) for c in raw]
+    seed_cols = [record[k] for k in ("choice_a", "choice_b", "choice_c",
+                                    "choice_d")
+                 if record.get(k) not in (None, "", "nan")]
+    if seed_cols:
+        return [str(c) for c in seed_cols]
+    return [str(record[k]) for k in ("A", "B", "C", "D", "E", "F")
+            if record.get(k) not in (None, "", "nan")]
+
+
+def _letter_answer(record, choices: Sequence[str], *keys):
+    """Gold answer normalized to an option letter where possible: strips the
+    CV-Bench/BLINK/MMVP '(A)'/'(a)' wrapping (ade_test.py:52), maps
+    ScienceQA's option index and Q-Bench's correct-answer TEXT
+    (qbench candidates layout) to their letters."""
+    ans = _get(record, *keys, default=None)
+    if ans is None:
+        return None
+    if isinstance(ans, (int,)) and not isinstance(ans, bool):
+        return string.ascii_uppercase[ans] if 0 <= ans < 26 else str(ans)
+    ans_s = str(ans).strip()
+    m = re.match(r"^\(([A-Za-z])\)$", ans_s)
+    if m:
+        return m.group(1).upper()
+    if len(ans_s) > 1 and choices:
+        for i, c in enumerate(choices):
+            if str(c).strip().lower() == ans_s.lower():
+                return string.ascii_uppercase[i]
+    if (ans_s.isdigit() and choices and int(ans_s) < len(choices)
+            and ans_s not in [str(c).strip() for c in choices]):
+        return string.ascii_uppercase[int(ans_s)]  # ai2d-style index strings
+    return ans_s
+
+
 def _mcq_prompt(record) -> dict:
-    question = _get(record, "question", "query", "text")
-    choices = _get(record, "choices", "options", default=None)
-    if choices is None:
-        # mmbench-style per-letter columns
-        choices = [record[k] for k in ("A", "B", "C", "D", "E", "F")
-                   if record.get(k) not in (None, "", "nan")]
-    text = f"{question}\n{_format_choices(choices)}{MCQ_HINT}"
+    choices = _choices_of(record)
+    pre = _get(record, "prompt", default=None)
+    if pre is not None:
+        # CV-Bench / BLINK ship the fully formatted question+options in
+        # 'prompt' (ade_eval.py:35, blink_eval.py:36) — use it verbatim
+        text = f"{pre}{MCQ_HINT}"
+    else:
+        question = _get(record, "question", "query", "text")
+        block = f"\n{_format_choices(choices)}" if choices else ""
+        text = f"{question}{block}{MCQ_HINT}"
     return dict(
         text=text,
-        image=_get(record, "image", "decoded_image"),
-        answer=_get(record, "answer", "label"),
+        image=_first_image(record),
+        answer=_letter_answer(record, choices, "answer", "label",
+                              "correct_ans"),
         choices=[str(c) for c in choices],
     )
+
+
+def _first_image(record):
+    """The record's image across layouts: 'image' (a list for SEED,
+    seed_eval.py:59), 'decoded_image' (MathVista), or 'image_1'
+    (MMMU/BLINK multi-image rows; the reference feeds the first,
+    blink_eval.py:48)."""
+    img = _get(record, "image", "decoded_image", "image_1", default=None)
+    if isinstance(img, (list, tuple)):
+        img = img[0] if img else None
+    return img
 
 
 def _short_prompt(record) -> dict:
     question = _get(record, "question", "query", "text")
     return dict(
         text=f"{question}{SHORT_HINT}",
-        image=_get(record, "image", "decoded_image"),
+        image=_first_image(record),
         answer=_get(record, "answer", "label", "answer_gt", default=""),
         answers=_get(record, "answers", default=None),
     )
@@ -73,7 +142,7 @@ def _open_prompt(record) -> dict:
     question = _get(record, "question", "query", "text", "instruction")
     return dict(
         text=question,
-        image=_get(record, "image", "decoded_image"),
+        image=_first_image(record),
         answer=_get(record, "answer", "label", default=""),
     )
 
@@ -97,9 +166,21 @@ register_benchmark(Benchmark(
     score=vqa_soft_accuracy,
 ))
 
+def _textvqa_prompt(record) -> dict:
+    """TextVQA folds the OCR tokens into the question (the reference's
+    protocol, textvqa_eval.py:35-43)."""
+    out = _short_prompt(record)
+    ocr = _get(record, "ocr_tokens", default=None)
+    if ocr:
+        question = _get(record, "question", "query", "text")
+        out["text"] = (f"{question}\nReference OCR tokens: "
+                       f"{', '.join(str(t) for t in ocr)}{SHORT_HINT}")
+    return out
+
+
 register_benchmark(Benchmark(
     name="textvqa", dataset="lmms-lab/textvqa", split="validation",
-    build_prompt=_short_prompt, score=vqa_soft_accuracy,
+    build_prompt=_textvqa_prompt, score=vqa_soft_accuracy,
 ))
 
 register_benchmark(Benchmark(
@@ -130,13 +211,13 @@ def _scienceqa_prompt(record) -> dict:
     question = _get(record, "question")
     hint = _get(record, "hint", default="")
     context = f"Context: {hint}\n" if hint else ""
-    choices = _get(record, "choices", "options")
+    choices = _choices_of(record)
     answer = _get(record, "answer")
     if isinstance(answer, int):  # scienceqa stores the option index
         answer = string.ascii_uppercase[answer]
     return dict(
         text=f"{context}{question}\n{_format_choices(choices)}{MCQ_HINT}",
-        image=_get(record, "image"),
+        image=_get(record, "image", default=None),  # SQA has text-only rows
         answer=answer,
         choices=[str(c) for c in choices],
     )
@@ -152,8 +233,8 @@ def _mcq_prompt_with_category(record) -> dict:
     """MCQ prompt carrying the record's category/subtask for the per-category
     accuracy tables (reference seed/blink *_test.py report per-type rows)."""
     out = _mcq_prompt(record)
-    cat = _get(record, "question_type", "category", "sub_task", "subtask",
-               "data_type", default=None)
+    cat = _get(record, "question_type", "question_type_id", "category",
+               "sub_task", "subtask", "data_type", default=None)
     if cat is not None:
         out["category"] = str(cat)
     return out
@@ -164,13 +245,34 @@ for _name, _ds, _split in [
     ("mmstar", "Lin-Chen/MMStar", "val"),
     ("realworldqa", "xai-org/RealworldQA", "test"),
     ("qbench", "q-future/Q-Bench-HF", "dev"),
-    ("mmvp", "MMVP/MMVP", "test"),
     ("vstar", "craigwu/vstar_bench", "test"),
 ]:
     register_benchmark(Benchmark(
         name=_name, dataset=_ds, split=_split,
         build_prompt=_mcq_prompt, score=multiple_choice_accuracy,
     ))
+
+
+def _mmvp_prompt(record) -> dict:
+    """MMVP options arrive as ONE string '(a) yes (b) no'
+    (mmvp_eval.py:36-44 splits on '(b)'); answers look like '(a)'."""
+    raw = _get(record, "options", "text_options", default=None)
+    if isinstance(raw, str) and "(a)" in raw.lower():
+        parts = re.split(r"\((b)\)", raw, flags=re.IGNORECASE, maxsplit=1)
+        choices = [re.sub(r"^\(a\)\s*", "", parts[0].strip(),
+                          flags=re.IGNORECASE)]
+        if len(parts) > 2:
+            choices.append(parts[2].strip())
+        elif len(parts) > 1:
+            choices.append(parts[-1].strip())
+        record = {**record, "choices": choices}
+    return _mcq_prompt(record)
+
+
+register_benchmark(Benchmark(
+    name="mmvp", dataset="MMVP/MMVP", split="test",
+    build_prompt=_mmvp_prompt, score=multiple_choice_accuracy,
+))
 
 # SEED/BLINK report per-category accuracy alongside the headline number
 # (reference seed_test.py / blink question-type tables)
@@ -188,11 +290,24 @@ for _name, _ds, _split in [
 # MMBench EN/CN: CircularEval over the rotated dev-set copies (official
 # protocol; the reference's mmbench_en_eval.py scores per-row only — we
 # report that as per_row_accuracy)
+def _mmbench_prompt(record) -> dict:
+    """MMBench folds a non-'nan' hint before the question
+    (mmbench_en_eval.py:41-42) and carries l2-category for tables."""
+    out = _mcq_prompt(record)
+    hint = _get(record, "hint", default=None)
+    if hint not in (None, "", "nan"):
+        out["text"] = f"{hint}\n{out['text']}"
+    cat = _get(record, "l2-category", "l2_category", "category", default=None)
+    if cat is not None:
+        out["category"] = str(cat)
+    return out
+
+
 for _name, _ds in [("mmbench_en", "lmms-lab/MMBench_EN"),
                    ("mmbench_cn", "lmms-lab/MMBench_CN")]:
     register_benchmark(Benchmark(
         name=_name, dataset=_ds, split="dev",
-        build_prompt=_mcq_prompt, score=circular_multiple_choice_accuracy,
+        build_prompt=_mmbench_prompt, score=circular_multiple_choice_accuracy,
     ))
 
 # CV-Bench: the reference's ade/omni/coco splits (ade_eval.py:75 loads
@@ -271,12 +386,28 @@ register_benchmark(Benchmark(
     build_prompt=_short_prompt, score=contains_match,
 ))
 
+def _synthdog_answer(record) -> str:
+    """synthdog's ground_truth is a JSON string
+    '{"gt_parse": {"text_sequence": ...}}' (synthdog_eval.py:97-98)."""
+    raw = _get(record, "ground_truth", "answer", default="")
+    if isinstance(raw, str) and raw.lstrip().startswith("{"):
+        import json as _json
+
+        try:
+            return _json.loads(raw)["gt_parse"]["text_sequence"]
+        except (ValueError, KeyError, TypeError):
+            return raw
+    if isinstance(raw, dict):
+        return raw.get("gt_parse", {}).get("text_sequence", str(raw))
+    return raw
+
+
 register_benchmark(Benchmark(
     name="synthdog", dataset="naver-clova-ix/synthdog-en", split="validation",
     build_prompt=lambda r: dict(
         text="Read all the text in the image.",
         image=_get(r, "image"),
-        answer=_get(r, "ground_truth", "answer", default=""),
+        answer=_synthdog_answer(r),
     ),
     score=normalized_edit_similarity,
     metric_names=("similarity",), primary_metric="similarity",

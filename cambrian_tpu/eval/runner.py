@@ -91,11 +91,31 @@ def build_inputs(prompt_dict, tokenizer, image_processor_list, model_config,
     return input_ids, image_tensor, image_size, prompt
 
 
+def _dump_record(record, benchmark_name, i):
+    """Schema-debugging aid (--dump_records): field names + truncated values,
+    binary/image payloads elided."""
+    import sys
+
+    view = {}
+    for k, v in record.items():
+        if hasattr(v, "size") and not isinstance(v, (str, bytes)):
+            view[k] = f"<image {getattr(v, 'size', '?')}>"
+        elif isinstance(v, bytes):
+            view[k] = f"<{len(v)} bytes>"
+        else:
+            s = repr(v)
+            view[k] = s if len(s) <= 200 else s[:200] + "…"
+    print(f"[dump_records] {benchmark_name}[{i}]: "
+          f"{json.dumps(view, ensure_ascii=False, default=str)}",
+          file=sys.stderr)
+
+
 def run_benchmark(benchmark_name: str, model_bundle, conv_mode: str,
                   answers_file: str, dataset_path: Optional[str] = None,
                   num_chunks: int = 1, chunk_idx: int = 0,
                   max_new_tokens: int = 128, temperature: float = 0.0,
-                  limit: Optional[int] = None, split: Optional[str] = None):
+                  limit: Optional[int] = None, split: Optional[str] = None,
+                  dump_records: int = 0):
     """Generate answers for one benchmark chunk -> JSONL rows."""
     benchmark = BENCHMARKS[benchmark_name]
     tokenizer, model, image_processor_list, _ = model_bundle
@@ -109,8 +129,10 @@ def run_benchmark(benchmark_name: str, model_bundle, conv_mode: str,
     np.random.seed(42)  # fixed seeds for reproducible runs (mmmu_eval.py:79-83)
 
     with open(answers_file, "w") as out:
-        for i in indices:
+        for n, i in enumerate(indices):
             record = dict(ds[int(i)])
+            if n < dump_records:
+                _dump_record(record, benchmark_name, int(i))
             prompt_dict = benchmark.build_prompt(record)
             input_ids, image_tensor, image_size, prompt = build_inputs(
                 prompt_dict, tokenizer, image_processor_list, model.config,
@@ -155,12 +177,16 @@ def main():
     parser.add_argument("--max_new_tokens", type=int, default=128)
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--dump_records", type=int, default=0,
+                        help="print the first N raw records' fields to "
+                             "stderr (schema debugging on first contact)")
     args = parser.parse_args()
 
     bundle = load_pretrained_model(args.model_path)
     run_benchmark(args.benchmark, bundle, args.conv_mode, args.answers_file,
                   args.dataset_path, args.num_chunks, args.chunk_idx,
-                  args.max_new_tokens, args.temperature, args.limit, args.split)
+                  args.max_new_tokens, args.temperature, args.limit,
+                  args.split, args.dump_records)
 
 
 if __name__ == "__main__":

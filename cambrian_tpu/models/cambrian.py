@@ -335,15 +335,18 @@ class CambrianLM(nn.Module):
                                       cache_index)
             return out, [lc]
 
-        stacked_params = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[self.layers[i].variables["params"] for i in range(lo, hi)],
-        )
         # parent=None: a detached functional module (not a child of this one);
         # it is applied with each scanned layer's params explicitly
         body_mod = LlamaDecoderLayer(c, dtype=self.dtype, parent=None)
+        layer_params = [self.layers[i].variables["params"]
+                        for i in range(lo, hi)]
 
         if cache is None:
+            # training forward: stacked xs so scan's vjp accumulates grads
+            # into the stacked weights naturally
+            stacked_params = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                          *layer_params)
+
             def body(h, lp):
                 out, _ = body_mod.apply({"params": lp}, h, mask,
                                         position_ids, None, None)
@@ -354,18 +357,24 @@ class CambrianLM(nn.Module):
             hidden, _ = jax.lax.scan(body, hidden, stacked_params)
             return hidden, None
 
-        stacked_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *cache[lo:hi])
+        # inference (prefill/decode): no gradients flow, so select each
+        # layer's params/cache with lax.switch instead of jnp.stack — the
+        # stack materializes a SECOND full copy of the run's weights in HBM
+        # every call (ADVICE r2; at 34B serving shapes that is ~+8.7 GB per
+        # device, tests/test_production_compile.py), while the conditional
+        # just forwards the chosen operand buffers.
+        param_branches = [lambda p=p: p for p in layer_params]
+        cache_branches = [lambda t=t: t for t in cache[lo:hi]]
 
-        def body_c(h, xs):
-            lp, lc = xs
+        def body_c(h, i):
+            lp = jax.lax.switch(i, param_branches)
+            lc = jax.lax.switch(i, cache_branches)
             out, new_lc = body_mod.apply({"params": lp}, h, mask,
                                          position_ids, lc, cache_index)
             return out, new_lc
 
-        if c.remat:
-            body_c = jax.checkpoint(body_c, prevent_cse=False)
         hidden, new_stacked = jax.lax.scan(body_c, hidden,
-                                           (stacked_params, stacked_cache))
+                                           jnp.arange(hi - lo))
         run_cache = [
             jax.tree.map(lambda x: x[i], new_stacked) for i in range(hi - lo)
         ]

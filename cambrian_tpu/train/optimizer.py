@@ -74,6 +74,27 @@ def label_params(params, config: TrainConfig):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def cast_frozen_params(params, config: TrainConfig, dtype=None):
+    """Store FROZEN params in bf16 (AOT memory finding, r3): fp32 master
+    weights only matter for accumulating small updates, and frozen groups
+    receive none — compute casts to bf16 either way, so this is numerics-free
+    and halves their HBM. Measured on the 34B stage-1 (1,2,4) mesh: fp32
+    storage needs 20.1 GB/device (> v5e 16 GB); bf16-frozen fits.
+    Trainable params keep fp32 master storage."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    labels = label_params(params, config)
+
+    def cast(leaf, label):
+        if label == "frozen" and hasattr(leaf, "dtype") and \
+                leaf.dtype == jnp.float32:
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree.map(cast, params, labels)
+
+
 def _schedule(peak_lr: float, config: TrainConfig):
     # warmup may be 0 (HF semantics: lr(0) = peak). max(1, ...) here silently
     # zeroed the first optimizer step of every warmup-free run.

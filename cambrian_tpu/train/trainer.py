@@ -290,6 +290,12 @@ class CambrianTrainer:
             init_params = {"model": self.init_params,
                            "vision_towers": self.tower_params}
             tower_arg = []
+        if args.bf16 and not args.lora_enable:
+            from .optimizer import cast_frozen_params
+
+            # frozen groups never update: store them bf16 (halves 34B stage-1
+            # per-device HBM, tests/test_production_compile.py)
+            init_params = cast_frozen_params(init_params, args)
         state = init_train_state(init_params, args)
         if args.gradient_accumulation_steps > 1:
             import optax

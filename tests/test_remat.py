@@ -53,3 +53,53 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=jax.tree_util.keystr(p1))
+
+
+def test_cast_frozen_params_dtype_and_training():
+    """Frozen groups store bf16, trainable keep fp32 master, and a train
+    step still decreases finite loss (optimizer.cast_frozen_params — the
+    34B-stage-1-fits-v5e mechanism, tests/test_production_compile.py)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__
+    from cambrian_tpu.train.optimizer import (TrainConfig, cast_frozen_params,
+                                              label_params)
+    from cambrian_tpu.train.train_step import init_train_state, make_train_step
+
+    cfg, model, towers, params, tower_params, batch = __graft_entry__._build(
+        num_towers=1, batch=2)
+    tconf = TrainConfig(learning_rate=1e-3, total_steps=4, warmup_ratio=0.0,
+                        lr_scheduler_type="constant", tune_mm_mlp_adapter=True)
+    cast = cast_frozen_params(params, tconf)
+    labels = label_params(params, tconf)
+
+    flat = jax.tree_util.tree_leaves_with_path(cast)
+    flat_labels = jax.tree_util.tree_leaves_with_path(labels)
+    n_bf16 = n_fp32 = 0
+    for (path, leaf), (_, label) in zip(flat, flat_labels):
+        if label == "frozen":
+            assert leaf.dtype != jnp.float32, path
+            n_bf16 += leaf.dtype == jnp.bfloat16
+        elif leaf.dtype == jnp.float32:
+            n_fp32 += 1
+    assert n_bf16 > 0 and n_fp32 > 0  # both populations present
+
+    state = init_train_state(cast, tconf)
+    step_fn = jax.jit(make_train_step(model, towers))
+    l0 = l1 = None
+    for _ in range(3):
+        state, metrics = step_fn(state, tower_params, batch)
+        l0 = l0 if l0 is not None else float(metrics["loss"])
+        l1 = float(metrics["loss"])
+    assert np.isfinite(l1) and l1 < l0
+    # frozen leaves really did not move or change dtype
+    after = jax.tree_util.tree_leaves_with_path(state.params)
+    before = dict((jax.tree_util.keystr(p), l) for p, l in flat)
+    for (path, leaf), (_, label) in zip(after, flat_labels):
+        if label == "frozen":
+            np.testing.assert_array_equal(
+                np.asarray(leaf, np.float32),
+                np.asarray(before[jax.tree_util.keystr(path)], np.float32))

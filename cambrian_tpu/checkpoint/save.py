@@ -37,7 +37,12 @@ def save_pretrained(params: Any, config: CambrianConfig, path: str,
     if "params" in params:
         params = params["params"]
     sd = export_cambrian(params, config)
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    # ascontiguousarray is load-bearing: safetensors' numpy writer serializes
+    # the raw underlying buffer, so a transposed VIEW (every exported
+    # `kernel.T`) would be written with the transposed shape but the
+    # original element order — silent weight corruption on load (caught by
+    # tests/test_topology_checkpoint.py round-trip, r3)
+    sd = {k: np.ascontiguousarray(np.asarray(v)) for k, v in sd.items()}
 
     # greedy sharding by size
     shards, cur, cur_bytes = [], {}, 0

@@ -71,11 +71,13 @@ def merge_lora(params, adapters, alpha: float, rank: int):
 
 
 def lora_state_dict(adapters: Dict[str, dict]) -> Dict[str, np.ndarray]:
-    """Flat numpy dict for safetensors export (keys: <kernel path>.lora_{a,b})."""
+    """Flat numpy dict for safetensors export (keys: <kernel path>.lora_{a,b}).
+    ascontiguousarray: safetensors' numpy writer serializes the raw buffer, so
+    any non-contiguous view would be silently reordered (checkpoint/save.py)."""
     out = {}
     for ps, ad in adapters.items():
-        out[f"{ps}.lora_a"] = np.asarray(ad["a"])
-        out[f"{ps}.lora_b"] = np.asarray(ad["b"])
+        out[f"{ps}.lora_a"] = np.ascontiguousarray(np.asarray(ad["a"]))
+        out[f"{ps}.lora_b"] = np.ascontiguousarray(np.asarray(ad["b"]))
     return out
 
 

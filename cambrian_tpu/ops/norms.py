@@ -147,6 +147,49 @@ class FusedLayerNorm(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _ln_stats_vpu(x: jnp.ndarray):
+    """One-pass fp32 (mean, mean-of-squares) on the VPU (lane-dim reduce)."""
+    xf = x.astype(jnp.float32)
+    s1 = jnp.mean(xf, axis=-1, keepdims=True)
+    s2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return s1, s2
+
+
+def _ln_stats_mxu(x: jnp.ndarray):
+    """fp32 (mean, mean-of-squares) via two dots against a ones matrix.
+
+    Measured and SHELVED (r3, default off): wins the microbenchmark (1.4x
+    standalone, ~11% on an isolated LN+GEMM pair at the ConvNeXt stage-2
+    shape — scripts/perf/ln_stats_exp.py) but regresses the full tower 0.8%
+    (437.9 vs 434.6 ms/iter bs=8): in the real graph the stats fusion also
+    carries the dwconv relayout copy and the normalize rides the GEMM
+    prologue, and splitting stats into dot ops breaks that shared pass.
+    Kept as tested infra (tests/test_norms_stream.py); enable explicitly
+    with CAMBRIAN_LN_DOT_STATS=1. The squares are computed in fp32 as a
+    fused producer of the second dot, so the statistics match the VPU
+    one-pass form to fp32 summation order.
+    """
+    c = x.shape[-1]
+    rows_shape = x.shape[:-1]
+    x2 = x.reshape(-1, c)
+    dims = (((1,), (0,)), ((), ()))
+    s1 = jax.lax.dot_general(
+        x2, jnp.ones((c, 8), x2.dtype), dims,
+        preferred_element_type=jnp.float32)[:, :1] / c
+    xf = x2.astype(jnp.float32)
+    s2 = jax.lax.dot_general(
+        xf * xf, jnp.ones((c, 8), jnp.float32), dims,
+        preferred_element_type=jnp.float32)[:, :1] / c
+    return (s1.reshape(rows_shape + (1,)), s2.reshape(rows_shape + (1,)))
+
+
+def _use_mxu_stats(c: int) -> bool:
+    import os
+
+    mode = os.environ.get("CAMBRIAN_LN_DOT_STATS", "0")
+    return mode == "1" and c % 128 == 0
+
+
 def layer_norm_stream(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
                       eps: float = 1e-6) -> jnp.ndarray:
     """LayerNorm with fp32 statistics that never materializes the fp32 input.
@@ -160,14 +203,18 @@ def layer_norm_stream(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     cannot CSE with the stats convert and fuses into the consumer (usually a
     GEMM prologue) reading bf16 from HBM.
 
+    CAMBRIAN_LN_DOT_STATS=1 routes the statistics through the MXU
+    (``_ln_stats_mxu`` — measured and shelved, see its docstring); numerics
+    are fp32 either way (only fp32 summation order differs between paths).
     Variance uses the one-pass E[x^2]-E[x]^2 form in fp32; for LN-scale
     activations (|mean|/std well under 1e3) the cancellation error is far
     below bf16 output resolution (tests/test_norms_stream.py asserts 1-ulp
     agreement with the two-pass fp32 reference).
     """
-    xf = x.astype(jnp.float32)
-    s1 = jnp.mean(xf, axis=-1, keepdims=True)
-    s2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    if _use_mxu_stats(x.shape[-1]):
+        s1, s2 = _ln_stats_mxu(x)
+    else:
+        s1, s2 = _ln_stats_vpu(x)
     rstd = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + eps)
     xn = jax.lax.optimization_barrier(x).astype(jnp.float32)
     y = (xn - s1) * rstd * weight.astype(jnp.float32) + bias.astype(jnp.float32)

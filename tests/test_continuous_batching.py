@@ -177,7 +177,13 @@ def test_chunked_eos_mid_chunk(bundle):
                        config=GenerationConfig(max_new_tokens=8,
                                                temperature=0.0))
     full = cb0.run_until_complete([probe], chunk=4)[0]
-    eos = int(full[2])  # pretend the 3rd generated token is eos
+    # pretend one generated token is eos — it must be the FIRST occurrence of
+    # that id (the tiny model loops tokens, so e.g. full[2] may equal full[0]
+    # and eos would legitimately fire earlier), and sit strictly inside a
+    # chunk (not at j=0) to exercise mid-chunk stopping.
+    k = next(i for i in range(1, 8)
+             if int(full[i]) not in full[:i].tolist() and i % 4 != 0)
+    eos = int(full[k])
 
     cb = ContinuousBatchingEngine(model.lm, model.params, num_slots=2,
                                   max_len=128, cache_dtype=jnp.float32)
@@ -187,9 +193,9 @@ def test_chunked_eos_mid_chunk(bundle):
     r_full = cb.submit(ids2, mask2, pos2, config=GenerationConfig(
         max_new_tokens=6, temperature=0.0))
     outs = cb.run_until_complete([r_eos, r_full], chunk=4)
-    assert len(outs[0]) == 3 and int(outs[0][-1]) == eos
+    assert len(outs[0]) == k + 1 and int(outs[0][-1]) == eos
     assert len(outs[1]) == 6
-    np.testing.assert_array_equal(outs[0], full[:3])
+    np.testing.assert_array_equal(outs[0], full[:k + 1])
 
 
 def test_chunked_mixed_sampling_configs(bundle):

@@ -35,12 +35,13 @@ is a documented roofline (VERDICT r1 item 10):
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 4.0
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 ITERS = 11  # median over a wider window: run-to-run tunnel/host jitter is ~4%
 
 
@@ -138,7 +139,7 @@ def main():
 
     images_per_sec = BATCH / elapsed
     print(json.dumps({
-        "metric": "images/sec/chip 4-tower+SVA encode (bs=8, bf16, v5e-1)",
+        "metric": f"images/sec/chip 4-tower+SVA encode (bs={BATCH}, bf16, v5e-1)",
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),

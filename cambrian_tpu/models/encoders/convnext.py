@@ -39,27 +39,39 @@ class ConvNeXtConfig:
 
 
 class ConvNeXtBlock(nn.Module):
+    """One ConvNeXt block over a FLAT [h*w*b, c] carrier.
+
+    The pointwise GEMMs want one large [rows, C] matmul (the 4-D form runs
+    as per-row batched GEMMs at ~22% MXU — docs/PERF_NOTES.md), while XLA's
+    dwconv emitter lays NHWC tensors out as (h, w, b, c) in memory with
+    (b, c) tiled. Flattening in that order — rows = h*w*b, not the naive
+    b*h*w — makes the flatten/unflatten around the dwconv bitcasts instead
+    of relayout copies and keeps the residual add in-layout: measured
+    -5.8% / -6.0% / -5.9% at stages 0/1/2 (scripts/perf/layout_exp.py, r3).
+    Row order is invisible to LN/GEMM/gelu (all row-wise), so numerics and
+    checkpoints are unchanged.
+    """
+
     dim: int
     ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, xf, spatial):
+        hh, ww, b = spatial
+        c = self.dim
+        x4 = xf.reshape(hh, ww, b, c).transpose(2, 0, 1, 3)
         h = nn.Conv(
-            self.dim, kernel_size=(7, 7), padding=3, feature_group_count=self.dim,
+            c, kernel_size=(7, 7), padding=3, feature_group_count=c,
             dtype=self.dtype, name="dwconv",
-        )(x)
-        # flatten spatial dims so the pointwise GEMMs run as one large matmul
-        # (XLA schedules the 4-D form as per-row batched GEMMs at ~22% MXU;
-        # flat is ~20% faster end to end — docs/PERF_NOTES.md)
-        b, hh, ww, c = h.shape
-        h = h.reshape(b * hh * ww, c)
+        )(x4)
+        h = h.transpose(1, 2, 0, 3).reshape(hh * ww * b, c)
         h = StreamLayerNorm(epsilon=self.ln_eps, name="norm")(h)
         h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = gelu_exact(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)
-        return x + (h * gamma.astype(h.dtype)).reshape(b, hh, ww, c)
+        return xf + h * gamma.astype(h.dtype)
 
 
 class ConvNeXt(nn.Module):
@@ -83,9 +95,14 @@ class ConvNeXt(nn.Module):
                 x = StreamLayerNorm(epsilon=c.ln_eps, name=f"downsample_norm_{s}")(x)
                 x = nn.Conv(dim, kernel_size=(2, 2), strides=(2, 2), padding="VALID",
                             dtype=self.dtype, name=f"downsample_conv_{s}")(x)
-            for b in range(depth):
-                x = ConvNeXtBlock(dim, ln_eps=c.ln_eps, dtype=self.dtype,
-                                  name=f"stage_{s}_block_{b}")(x)
+            # flat carry across the stage (see ConvNeXtBlock docstring)
+            b, hh, ww, _ = x.shape
+            xf = x.transpose(1, 2, 0, 3).reshape(hh * ww * b, dim)
+            for blk in range(depth):
+                xf = ConvNeXtBlock(dim, ln_eps=c.ln_eps, dtype=self.dtype,
+                                   name=f"stage_{s}_block_{blk}")(
+                                       xf, (hh, ww, b))
+            x = xf.reshape(hh, ww, b, dim).transpose(2, 0, 1, 3)
             stage_maps.append(x)
         return stage_maps
 

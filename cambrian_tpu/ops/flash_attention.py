@@ -34,6 +34,20 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale, causal,
                  block_q, sliding_window, q_offset):
+    """The softmax chain is VPU-bound at ViT shapes (the [block_q, S_k]
+    logits see ~44% of padded roofline with the naive two-select +
+    full-matrix-divide form), so every elementwise pass over the logits
+    matters:
+    - key validity is an ADDITIVE bias row (one broadcast add) instead of a
+      select; exp underflows NEG_INF-biased entries to exactly 0, so no
+      second select is needed to zero masked probabilities;
+    - normalization scales the [block_q, D] OUTPUT rows after the PV matmul
+      (softmax is linear in the probs) instead of dividing the full
+      [block_q, S_k] matrix;
+    - rows with every key masked (pad q rows, fully-invalid packed rows)
+      keep row_max == NEG_INF and are zeroed via the same row factor,
+      matching the previous select-based semantics.
+    """
     qi = pl.program_id(1)
     q = q_ref[0]          # [block_q, D]
     k = k_ref[0]          # [S_k, D]
@@ -44,27 +58,32 @@ def _attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *, scale, causal,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     ) * scale             # [block_q, S_k]
 
-    mask = valid_ref[0] > 0   # [1, S_k] (kept 2-D: Mosaic rejects 1-D vectors)
+    # [1, S_k] (kept 2-D: Mosaic rejects 1-D vectors)
+    bias = jnp.where(valid_ref[0] > 0, 0.0, NEG_INF)
     if causal or sliding_window is not None:
         q_pos = (qi * block_q + q_offset
                  + jax.lax.broadcasted_iota(jnp.int32, (block_q, s_k), 0))
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s_k), 1)
-        if causal:
-            mask = mask & (k_pos <= q_pos)
+        pred = (k_pos <= q_pos) if causal else None
         if sliding_window is not None:
-            mask = mask & (q_pos - k_pos < sliding_window)
-
-    logits = jnp.where(mask, logits, NEG_INF)
+            w_pred = q_pos - k_pos < sliding_window
+            pred = w_pred if pred is None else pred & w_pred
+        logits = jnp.where(pred, logits, NEG_INF)
+    logits = logits + bias
     row_max = jnp.max(logits, axis=-1, keepdims=True)
     probs = jnp.exp(logits - row_max)
-    probs = jnp.where(mask, probs, 0.0)
-    denom = jnp.sum(probs, axis=-1, keepdims=True)
-    probs = probs / jnp.maximum(denom, 1e-30)
+    denom = jnp.sum(probs, axis=-1, keepdims=True)      # [block_q, 1]
     out = jax.lax.dot_general(
         probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = out.astype(o_ref.dtype)
+    # select (not multiply) so a hypothetical all-double-masked row — where
+    # NEG_INF + NEG_INF overflows to -inf and exp(-inf - -inf) is NaN —
+    # still yields exactly 0 rather than NaN * 0
+    alive = row_max > 0.5 * NEG_INF
+    o_ref[0] = jnp.where(
+        alive, out * jnp.reciprocal(jnp.maximum(denom, 1e-30)), 0.0,
+    ).astype(o_ref.dtype)
 
 
 def _round_up(x, m):
@@ -72,7 +91,7 @@ def _round_up(x, m):
 
 
 def _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
-                    q_offset, block_q):
+                    q_offset, block_q, interpret=False):
     """q [BH, Sq, D], k/v [BH, Sk, D], key_valid [BH, Sk] -> [BH, Sq, D]."""
     bh, s_q, d = q.shape
     s_k = k.shape[1]
@@ -112,6 +131,7 @@ def _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=bh * sq_pad * sk_pad,
         ),
+        interpret=interpret,
     )(qp, kp, vp, validp)
     return out[:, :s_q, :d]
 
@@ -306,7 +326,7 @@ def flash_attention(
     sliding_window: Optional[int] = None,
     q_offset: int = 0,
     scale: Optional[float] = None,
-    block_q: int = 256,
+    block_q: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused masked attention in BQHD layout; falls back to the XLA path off
     TPU (tests run on the CPU mesh; pallas-interpret is too slow there)."""
@@ -316,6 +336,12 @@ def flash_attention(
         scale = d ** -0.5
     if key_valid is None:
         key_valid = jnp.ones((b, s_k), dtype=bool)
+    if block_q is None:
+        # ViT-length non-causal rows: one program per batch-head fetches the
+        # K/V stripe once (block_q sweep at the DINOv2 shape: 768 beats 256
+        # by ~5%). Longer/causal sequences keep 256 — the whole-row fp32
+        # logits (s_q x s_k x 4B) must stay well inside the 16 MB VMEM.
+        block_q = _round_up(s_q, 128) if (not causal and s_q <= 768) else 256
     block_q = min(block_q, _round_up(s_q, 128))
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)

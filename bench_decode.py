@@ -213,9 +213,10 @@ def serving_8b_int8_end_to_end():
         for tok, t in zip(cfg.mm_vision_tower_aux_token_len_list, towers)
     ]
     shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(pids),
-                           jnp.asarray(pmask), jnp.asarray(ppos),
-                           feat_shapes, aux))
+        lambda feats: model.init(jax.random.PRNGKey(0), jnp.asarray(pids),
+                                 jnp.asarray(pmask), jnp.asarray(ppos),
+                                 feats, aux),
+        feat_shapes)
 
     def rand_leaf(i, s):
         key = jax.random.fold_in(jax.random.PRNGKey(11), i)

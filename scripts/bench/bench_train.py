@@ -124,6 +124,18 @@ def main():
         "loss": round(float(np.asarray(metrics["loss"])), 4),
     }))
 
+    import sys
+
+    if "--trace" in sys.argv:
+        # xplane trace for scripts/perf/parse_xplane.py (backward profiling)
+        from cambrian_tpu.profiling import trace
+
+        with trace("/tmp/train_trace"):
+            for _ in range(2):
+                state, metrics = step_fn(state, tower_params, batch)
+            jax.block_until_ready(metrics)
+        print("trace written to /tmp/train_trace")
+
 
 if __name__ == "__main__":
     main()

@@ -36,6 +36,8 @@ is a documented roofline (VERDICT r1 item 10):
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -45,7 +47,37 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 ITERS = 11  # median over a wider window: run-to-run tunnel/host jitter is ~4%
 
 
+def probe_backend(attempts=3, probe_timeout=120, retry_sleep=60):
+    """Bounded TPU-availability probe (CLAUDE.md recipe).
+
+    The axon tunnel has multi-hour outages during which backend init either
+    raises or HANGS — probing in a timeout-bounded subprocess keeps this
+    process from hanging forever. Probing in a *subprocess* also matters
+    because a failed in-process init can poison jax's backend state.
+    Returns True once a probe sees a device; False after ``attempts`` misses.
+    """
+    code = "import jax; assert jax.devices()"
+    for i in range(attempts):
+        try:
+            proc = subprocess.run([sys.executable, "-c", code],
+                                  timeout=probe_timeout,
+                                  capture_output=True)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench.py: backend probe {i + 1}/{attempts} failed",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(retry_sleep)
+    return False
+
+
 def main():
+    if not probe_backend():
+        print("bench.py: no usable jax backend (axon tunnel outage?); "
+              "aborting before device work", file=sys.stderr)
+        sys.exit(3)
     import jax
     import jax.numpy as jnp
 

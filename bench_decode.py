@@ -131,6 +131,10 @@ def _main_and_serving():
     serving_8b_int8()
     _clear_device()
     serving_8b_int8_end_to_end()
+    _clear_device()
+    serving_13b_int4()
+    _clear_device()
+    serving_34b_int4_standin()
 
 
 def _clear_device():
@@ -356,6 +360,148 @@ def serving_8b_int8():
         "first_chunk_ms": round(first * 1000, 1),
         "tokens_per_sec": round(tps, 1),
         "total_s_for_128_new": round(total, 3),
+    }))
+
+
+def _quant_serving_decode(cfg, label, weight_gib_note="", max_new=128):
+    """Shared harness for the quantized serving-decode sections: random
+    params in the quantized layout (no bf16 materialization peak), chunked
+    generate_stream (the worker's real path), first-chunk + sustained tok/s.
+    """
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from cambrian_tpu.constants import IMAGE_TOKEN_INDEX
+    from cambrian_tpu.data.packing import prepare_multimodal_data
+    from cambrian_tpu.infer.engine import GenerationConfig, GenerationEngine
+    from cambrian_tpu.models.cambrian import CambrianLM
+
+    dtype = jnp.bfloat16
+    hidden_sizes = (1152, 1024, 1536, 5760)
+    model = CambrianLM(cfg, hidden_sizes, dtype=dtype)
+    rng = np.random.default_rng(0)
+
+    batch = 1
+    ids = rng.integers(5, cfg.vocab_size, (batch, 64)).astype(np.int64)
+    ids[:, cfg.image_position] = IMAGE_TOKEN_INDEX
+    mask = np.ones((batch, 64), dtype=bool)
+    pids, _, pmask, ppos, aux_masks = prepare_multimodal_data(
+        ids, ids.copy(), mask, [(512, 512)] * batch, cfg.image_token_len,
+        cfg.mm_vision_tower_aux_token_len_list, 700,
+    )
+    feats = [jnp.asarray(rng.standard_normal((batch, t, h)).astype(np.float32),
+                         dtype)
+             for t, h in zip(cfg.mm_vision_tower_aux_token_len_list, hidden_sizes)]
+    aux = [jnp.asarray(m) for m in aux_masks]
+
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(pids),
+                           jnp.asarray(pmask), jnp.asarray(ppos), feats, aux))
+
+    def rand_leaf(i, s):
+        key = jax.random.fold_in(jax.random.PRNGKey(11), i)
+        if s.dtype == jnp.int8:
+            return jax.random.randint(key, s.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        return 0.02 * jax.random.normal(key, s.shape, s.dtype)
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    weight_bytes = sum(
+        int(np.prod(s.shape)) * s.dtype.itemsize for s in leaves)
+    params = jax.tree.unflatten(
+        treedef, [rand_leaf(i, s) for i, s in enumerate(leaves)])
+
+    engine = GenerationEngine(model, params, max_len=700 + max_new + 16,
+                              cache_dtype=dtype)
+    gcfg = GenerationConfig(max_new_tokens=max_new, temperature=0.0,
+                            eos_token_id=None, stream_chunk=16)
+
+    def serve_once():
+        first = None
+        t0 = time.perf_counter()
+        out = None
+        for out in engine.generate_stream(pids, pmask, ppos, feats, aux, gcfg):
+            if first is None:
+                first = time.perf_counter() - t0
+        return first, time.perf_counter() - t0, out
+
+    serve_once()  # warm/compile
+    firsts, totals = [], []
+    for _ in range(3):
+        gc.collect()
+        first, total, out = serve_once()
+        firsts.append(first)
+        totals.append(total)
+    first = float(np.median(firsts))
+    total = float(np.median(totals))
+    tps = batch * (max_new - 16) / max(total - first, 1e-9)
+    rec = {
+        "metric": label,
+        "first_chunk_ms": round(first * 1000, 1),
+        "tokens_per_sec": round(tps, 1),
+        "total_s_for_%d_new" % max_new: round(total, 3),
+        "param_bytes_gib": round(weight_bytes / 2**30, 2),
+    }
+    if weight_gib_note:
+        rec["note"] = weight_gib_note
+    print(json.dumps(rec))
+    return tps
+
+
+def serving_13b_int4():
+    """13B-class serving on ONE v5e chip: Vicuna-13B decoder, int4
+    weight-only (load_4bit; bitsandbytes-nf4 counterpart, reference
+    model/builder.py:35-44). int4 body ~5.9 GiB + scales + bf16 embeddings
+    fits 16 GB with room for cache — the missing BASELINE config #3 decode
+    row (VERDICT r3 item 3/5)."""
+    from cambrian_tpu.models.config import cambrian_13b
+
+    cfg = cambrian_13b().replace(quantize="int4",
+                                 tokenizer_model_max_length=2048,
+                                 scan_layers=True)
+    _quant_serving_decode(
+        cfg,
+        "vicuna-13B int4 multimodal SERVING decode "
+        "(bs=1, 664-tok prompt, stream_chunk=16, v5e-1)",
+    )
+
+
+def serving_34b_int4_standin():
+    """34B-geometry serving probe on ONE v5e chip. Full Yi-34B int4 is
+    15.6 GiB body + 1.0 GiB scales + 1.7 GiB bf16 embeddings = 18.3 GiB —
+    it does NOT fit one 16 GB chip at any supported quantization; the real
+    deployment is the (1,2,4) serve mesh (~9.2 GiB/device, AOT-validated in
+    tests/test_production_compile.py). What CAN be measured on this chip is
+    the full-WIDTH geometry at half depth: 30 of 60 layers at hidden 7168 /
+    inter 20480 / 56 heads, int4 (~9.5 GiB). Decode is weight-HBM-bound and
+    layer-homogeneous, so full-34B per-token latency ~= 2x the measured
+    stand-in (+ the unchanged embedding/logits tax); tokens/sec ~= half.
+    The printed extrapolation states exactly that."""
+    from cambrian_tpu.models.config import cambrian_34b
+
+    cfg = cambrian_34b().replace(
+        quantize="int4", tokenizer_model_max_length=2048, scan_layers=True,
+        num_hidden_layers=30,
+        # keep the in-decoder SVA cadence (stride 7) within 30 layers
+        num_of_vision_sampler_layers=5,
+        # the bench prompt is 64 text tokens; 34B's real image_position 87
+        # doesn't fit it and has no bearing on decode cost
+        image_position=35,
+    )
+    tps = _quant_serving_decode(
+        cfg,
+        "yi-34B-geometry int4 HALF-DEPTH (30/60 layer) multimodal SERVING "
+        "decode (bs=1, 664-tok prompt, stream_chunk=16, v5e-1)",
+        weight_gib_note="full 34B int4 = 18.3 GiB > 16 GB HBM (needs the "
+        "(1,2,4) mesh); half-depth at full width measures the per-layer "
+        "decode cost on real silicon",
+    )
+    print(json.dumps({
+        "metric": "yi-34B int4 FULL-depth extrapolation (2x layer cost, "
+                  "same embed/logits)",
+        "tokens_per_sec_extrapolated": round(tps / 2, 1),
     }))
 
 

@@ -192,7 +192,12 @@ class GenerationEngine:
             return tokens, lengths, next_logits, cache, cache_valid, finished, rng
 
         carry = (tokens0, lengths0, next_logits, cache, cache_valid, finished0, rng)
-        tokens, lengths, *_ = jax.lax.fori_loop(0, max_new_tokens, body, carry)
+        # Capacity guard: past k_len the cache's dynamic_update_slice CLAMPS
+        # its index, which would silently overwrite the last row (and count
+        # the corrupt tokens in lengths). Clamp the step budget instead —
+        # same contract as generate_stream's `s + t + chunk <= k_len` bound.
+        steps = max(0, min(max_new_tokens, k_len - s))
+        tokens, lengths, *_ = jax.lax.fori_loop(0, steps, body, carry)
         return tokens, lengths
 
     def _decode_chunk_impl(self, params, next_logits, cache, cache_valid,

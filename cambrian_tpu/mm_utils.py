@@ -99,25 +99,21 @@ def process_images(images: Sequence, image_processor: Sequence[ImageProcessor], 
     Returns:
         list (len = num towers) of float32 numpy arrays [B, 3, H_i, W_i].
     """
-    new_images_aux_list = []
-    for image in images:
+    def one_tower(img, proc):
+        if hasattr(proc, "image_mean"):
+            fill = tuple(int(c * 255) for c in proc.image_mean)
+            side = proc.crop_size["height"]
+            img = expand2square(img, fill).resize((side, side))
+        return proc.preprocess(img, return_tensors="np")["pixel_values"][0]
+
+    per_image = []  # [batch][tower]
+    for img in images:
         # Eval datasets contain L/P/RGBA images; the per-tower mean fill is RGB.
-        if getattr(image, "mode", "RGB") != "RGB":
-            image = image.convert("RGB")
-        image_aux_list = []
-        for processor_aux in image_processor:
-            image_aux = image
-            if hasattr(processor_aux, "image_mean"):
-                target_resolution = processor_aux.crop_size["height"]
-                image_aux = expand2square(
-                    image_aux, tuple(int(x * 255) for x in processor_aux.image_mean)
-                ).resize((target_resolution, target_resolution))
-            image_aux = processor_aux.preprocess(image_aux, return_tensors="np")["pixel_values"][0]
-            image_aux_list.append(image_aux)
-        new_images_aux_list.append(image_aux_list)
-    # transpose [batch][tower] -> [tower][batch], stack per tower
-    new_images_aux_list = [list(batch) for batch in zip(*new_images_aux_list)]
-    return [np.stack(image_aux).astype(np.float32) for image_aux in new_images_aux_list]
+        if getattr(img, "mode", "RGB") != "RGB":
+            img = img.convert("RGB")
+        per_image.append([one_tower(img, proc) for proc in image_processor])
+    # stack each tower's column across the batch
+    return [np.stack(col).astype(np.float32) for col in zip(*per_image)]
 
 
 from .constants import IMAGE_TOKEN_INDEX  # noqa: E402  (after numpy-only block)

@@ -209,11 +209,24 @@ def cambrian_8b() -> CambrianConfig:
 
 
 def cambrian_13b() -> CambrianConfig:
-    return CambrianConfig(**{**VICUNA_13B, **CAMBRIAN_SVA})
+    # 13B geometry (pretrain_cambrian_13b.sh:23-28): image at position 35,
+    # 10 in-LLM sampler layers every 4th layer.
+    return CambrianConfig(**{
+        **VICUNA_13B, **CAMBRIAN_SVA,
+        "image_position": 35,
+        "stride_of_vision_sampler_layers": 4,
+    })
 
 
 def cambrian_34b() -> CambrianConfig:
-    return CambrianConfig(**{**YI_34B, **CAMBRIAN_SVA, "image_position": 35})
+    # 34B geometry diverges from 8B (pretrain_cambrian_34b.sh:23-28):
+    # image at position 87, 9 in-LLM sampler layers every 7th layer.
+    return CambrianConfig(**{
+        **YI_34B, **CAMBRIAN_SVA,
+        "image_position": 87,
+        "num_of_vision_sampler_layers": 9,
+        "stride_of_vision_sampler_layers": 7,
+    })
 
 
 def cambrian_phi3() -> CambrianConfig:

@@ -341,7 +341,10 @@ def flash_attention(
         # K/V stripe once (block_q sweep at the DINOv2 shape: 768 beats 256
         # by ~5%). Longer/causal sequences keep 256 — the whole-row fp32
         # logits (s_q x s_k x 4B) must stay well inside the 16 MB VMEM.
-        block_q = _round_up(s_q, 128) if (not causal and s_q <= 768) else 256
+        # s_k gates the large block too: cross-attention with small s_q but
+        # long s_k would otherwise put an [s_q, s_k] fp32 block in one program.
+        block_q = (_round_up(s_q, 128)
+                   if (not causal and s_q <= 768 and s_k <= 1024) else 256)
     block_q = min(block_q, _round_up(s_q, 128))
 
     qf = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)

@@ -204,12 +204,18 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
     k2, n = w_q4.shape
     group = int4_group(k, group)
     assert k == 2 * k2 and k % group == 0, (k, k2, group)
-    if jax.devices()[0].platform != "tpu":
+    block_k = min(2048, _round_up(k, 2 * group))
+    # Pallas-path alignment contract: the even/odd activation halves put
+    # block_k//2 in the lane dim (must be a 128 multiple) and each k-block
+    # must hold >= 1 whole scale group. Unaligned K (possible only via the
+    # group=K fallback of int4_group) takes the XLA dequant matmul instead.
+    aligned = (block_k % 256 == 0) and (block_k % group == 0) \
+        and (block_k // group >= 1)
+    if jax.devices()[0].platform != "tpu" or not aligned:
         return (x @ dequantize_int4(w_q4, scale, x.dtype)).astype(x.dtype)
 
     m_pad = _round_up(m, block_m)
     n_pad = _round_up(n, block_n)
-    block_k = min(2048, _round_up(k, 2 * group))
     k_pad = _round_up(k, block_k)
     k_blocks = k_pad // block_k
     xp = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))

@@ -11,6 +11,7 @@ Frozen groups get ``optax.set_to_zero`` so optimizer state stays pytree-
 compatible across stages.
 """
 
+import re
 from dataclasses import dataclass
 from typing import Optional
 
@@ -74,25 +75,35 @@ def label_params(params, config: TrainConfig):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+_NORM_PATH_RE = re.compile(r"norm|(^|_)ln\d*($|_)", re.IGNORECASE)
+
+
 def cast_frozen_params(params, config: TrainConfig, dtype=None):
     """Store FROZEN params in bf16 (AOT memory finding, r3): fp32 master
     weights only matter for accumulating small updates, and frozen groups
-    receive none — compute casts to bf16 either way, so this is numerics-free
-    and halves their HBM. Measured on the 34B stage-1 (1,2,4) mesh: fp32
-    storage needs 20.1 GB/device (> v5e 16 GB); bf16-frozen fits.
-    Trainable params keep fp32 master storage."""
+    receive none — matmul/conv compute casts to bf16 either way. Measured on
+    the 34B stage-1 (1,2,4) mesh: fp32 storage needs 20.1 GB/device (> v5e
+    16 GB); bf16-frozen fits. Trainable params keep fp32 master storage.
+
+    Norm scales/biases are exempt: the repo's numerics discipline applies
+    them in fp32 (ops/norms.py), so bf16 storage would round parameters the
+    compute actually consumes at full precision, drifting frozen-tower
+    activations off the fp32-checkpoint parity baseline. They are hidden-size
+    vectors — exempting them costs ~0 HBM."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.bfloat16
     labels = label_params(params, config)
 
-    def cast(leaf, label):
-        if label == "frozen" and hasattr(leaf, "dtype") and \
-                leaf.dtype == jnp.float32:
-            return leaf.astype(dtype)
-        return leaf
+    def cast(path, leaf, label):
+        if label != "frozen" or getattr(leaf, "dtype", None) != jnp.float32:
+            return leaf
+        comps = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        if any(_NORM_PATH_RE.search(c) for c in comps):
+            return leaf
+        return leaf.astype(dtype)
 
-    return jax.tree.map(cast, params, labels)
+    return jax.tree_util.tree_map_with_path(cast, params, labels)
 
 
 def _schedule(peak_lr: float, config: TrainConfig):

@@ -10,9 +10,7 @@ import logging.handlers
 import os
 import sys
 
-LOGDIR = "."
-
-handler = None
+LOGDIR = os.environ.get("CAMBRIAN_LOGDIR", ".")
 
 server_error_msg = (
     "**NETWORK ERROR DUE TO HIGH TRAFFIC. PLEASE REGENERATE OR REFRESH THIS PAGE.**"
@@ -21,34 +19,41 @@ moderation_msg = (
     "YOUR INPUT VIOLATES OUR CONTENT MODERATION GUIDELINES. PLEASE TRY AGAIN."
 )
 
+_FMT = logging.Formatter(
+    "%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+    datefmt="%Y-%m-%d %H:%M:%S",
+)
+_file_handlers = {}  # one shared rotating handler per log file
+
 
 def build_logger(logger_name, logger_filename):
-    """File+stdout logger (reference cambrian/utils.py:25-66)."""
-    global handler
+    """Named INFO logger that also appends to a daily-rotating log file.
 
-    formatter = logging.Formatter(
-        fmt="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-        datefmt="%Y-%m-%d %H:%M:%S",
-    )
+    Serves the role of the reference's logger factory (cambrian/utils.py:25)
+    with a simpler mechanism: rather than walking every registered logger to
+    bolt the file handler on, the handler goes on the ROOT logger once and
+    record propagation delivers every namespace to it.
+    """
+    root = logging.getLogger()
+    if not root.handlers:
+        console = logging.StreamHandler()
+        root.addHandler(console)
+        root.setLevel(logging.INFO)
+    for h in root.handlers:
+        h.setFormatter(_FMT)
 
-    if not logging.getLogger().handlers:
-        logging.basicConfig(level=logging.INFO)
-    logging.getLogger().handlers[0].setFormatter(formatter)
+    if logger_filename not in _file_handlers:
+        os.makedirs(LOGDIR, exist_ok=True)
+        fh = logging.handlers.TimedRotatingFileHandler(
+            os.path.join(LOGDIR, logger_filename),
+            when="D", utc=True, encoding="utf-8",
+        )
+        fh.setFormatter(_FMT)
+        root.addHandler(fh)
+        _file_handlers[logger_filename] = fh
 
     logger = logging.getLogger(logger_name)
     logger.setLevel(logging.INFO)
-
-    if handler is None:
-        os.makedirs(LOGDIR, exist_ok=True)
-        filename = os.path.join(LOGDIR, logger_filename)
-        handler = logging.handlers.TimedRotatingFileHandler(
-            filename, when="D", utc=True, encoding="utf-8"
-        )
-        handler.setFormatter(formatter)
-        for name, item in logging.root.manager.loggerDict.items():
-            if isinstance(item, logging.Logger):
-                item.addHandler(handler)
-
     return logger
 
 

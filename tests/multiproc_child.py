@@ -5,7 +5,9 @@ Joins the distributed runtime, builds the (data, fsdp, model) mesh over all
 jitted with out_shardings — no host array ever spans processes), feeds the
 batch through put_global_batch, and runs two real Cambrian train steps.
 
-Run: python multiproc_child.py <process_id> <num_processes> <port>
+Run: python multiproc_child.py <process_id> <num_processes> <port> [local_devices]
+``local_devices`` defaults to 4; pass 8 with num_processes=1 for the
+single-process reference geometry (same 8-device global mesh, no DCN split).
 Prints "proc <pid>: loss0=<x> loss1=<y> OK" on success.
 """
 
@@ -15,9 +17,10 @@ import sys
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    local_devices = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+        + f" --xla_force_host_platform_device_count={local_devices}"
     )
     import jax
 
@@ -29,8 +32,8 @@ def main():
     )
 
     assert initialize_distributed(f"localhost:{port}", nproc, pid)
-    assert jax.local_device_count() == 4, jax.local_device_count()
-    assert jax.device_count() == 4 * nproc, jax.device_count()
+    assert jax.local_device_count() == local_devices, jax.local_device_count()
+    assert jax.device_count() == local_devices * nproc, jax.device_count()
 
     import numpy as np
 

@@ -54,3 +54,16 @@ def test_two_process_sharded_train_step():
     losses = [re.search(r"loss0=([\d.]+) loss1=([\d.]+)", o).groups()
               for o in outs]
     assert losses[0] == losses[1], losses
+
+
+@pytest.mark.slow
+def test_multiprocess_vs_single_process_loss_parity():
+    """2-proc x 4-dev vs 1-proc x 8-dev over the SAME (2,2,2) global mesh:
+    process partitioning must not change the training math (VERDICT r3
+    item 9 — the driver-facing __graft_entry__.dryrun_multiprocess leg)."""
+    sys.path.insert(0, _REPO)
+    import __graft_entry__
+
+    res = __graft_entry__.dryrun_multiprocess()  # asserts parity internally
+    for a, b in zip(res["two_proc"], res["one_proc"]):
+        assert abs(a - b) < 1e-3, res

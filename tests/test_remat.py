@@ -76,16 +76,25 @@ def test_cast_frozen_params_dtype_and_training():
     cast = cast_frozen_params(params, tconf)
     labels = label_params(params, tconf)
 
+    from cambrian_tpu.train.optimizer import _NORM_PATH_RE
+
     flat = jax.tree_util.tree_leaves_with_path(cast)
     flat_labels = jax.tree_util.tree_leaves_with_path(labels)
-    n_bf16 = n_fp32 = 0
+    n_bf16 = n_fp32 = n_norm_fp32 = 0
     for (path, leaf), (_, label) in zip(flat, flat_labels):
-        if label == "frozen":
+        comps = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+        is_norm = any(_NORM_PATH_RE.search(c) for c in comps)
+        if label == "frozen" and not is_norm:
             assert leaf.dtype != jnp.float32, path
             n_bf16 += leaf.dtype == jnp.bfloat16
+        elif label == "frozen":
+            # norm scales/biases are applied in fp32 (numerics discipline):
+            # they keep fp32 storage even when frozen
+            assert leaf.dtype == jnp.float32, path
+            n_norm_fp32 += 1
         elif leaf.dtype == jnp.float32:
             n_fp32 += 1
-    assert n_bf16 > 0 and n_fp32 > 0  # both populations present
+    assert n_bf16 > 0 and n_fp32 > 0 and n_norm_fp32 > 0  # all populations present
 
     state = init_train_state(cast, tconf)
     step_fn = jax.jit(make_train_step(model, towers))

@@ -130,6 +130,8 @@ def _main_and_serving():
     main()
     serving_8b_int8()
     _clear_device()
+    serving_8b_int8(lm_head_bf16=True)
+    _clear_device()
     serving_8b_int8_end_to_end()
     _clear_device()
     serving_13b_int4()
@@ -274,11 +276,15 @@ def serving_8b_int8_end_to_end():
     }))
 
 
-def serving_8b_int8():
+def serving_8b_int8(lm_head_bf16=False):
     """Serving-path decode at 8B class on ONE v5e chip: LLaMA-3-8B decoder
     with int8 weight-only GEMMs (load_8bit path; bf16 8B weights alone are
     16 GB and do not fit), streamed through generate_stream with the chunked
     on-device loop (stream_chunk=16) — the worker's actual code path.
+
+    ``lm_head_bf16``: measure the bf16-stored vocab head (fp32 accumulation,
+    greedy-parity-gated in tests/test_inference.py) — the fp32 128k-vocab
+    head is 2.1 GB of the ~8.6 GB read per decode step (VERDICT r3 item 6).
     """
     import gc
 
@@ -294,7 +300,9 @@ def serving_8b_int8():
     dtype = jnp.bfloat16
     cfg = CambrianConfig(**{**LLAMA3_8B, **CAMBRIAN_SVA, "image_position": 35,
                             "tokenizer_model_max_length": 2048,
-                            "quantize": "int8"})
+                            "quantize": "int8",
+                            **({"lm_head_dtype": "bf16"} if lm_head_bf16
+                               else {})})
     hidden_sizes = (1152, 1024, 1536, 5760)
     model = CambrianLM(cfg, hidden_sizes, dtype=dtype)
     rng = np.random.default_rng(0)
@@ -356,7 +364,8 @@ def serving_8b_int8():
     tps = batch * (MAX_NEW - 16) / max(total - first, 1e-9)
     print(json.dumps({
         "metric": "llama3-8B int8 multimodal SERVING decode "
-                  "(bs=1, 664-tok prompt, stream_chunk=16, v5e-1)",
+                  "(bs=1, 664-tok prompt, stream_chunk=16, v5e-1"
+                  + (", bf16 lm_head" if lm_head_bf16 else "") + ")",
         "first_chunk_ms": round(first * 1000, 1),
         "tokens_per_sec": round(tps, 1),
         "total_s_for_128_new": round(total, 3),

@@ -291,6 +291,10 @@ def load_pretrained_model(
         # precision). int4 packs two nibbles per byte with K-groupwise scales
         # (ops/quant.py) — the 34B-on-small-slices capacity option.
         config = config.replace(quantize=quant_mode)
+    if kwargs.get("lm_head_bf16"):
+        # serving option: halve the vocab-head HBM read (fp32 accumulation,
+        # greedy-parity-gated — models/cambrian.py::_logits)
+        config = config.replace(lm_head_dtype="bf16")
     towers = build_vision_tower_aux_list(
         config.mm_vision_tower_aux_list,
         config.mm_vision_tower_aux_token_len_list,
@@ -300,6 +304,9 @@ def load_pretrained_model(
 
     sd = _load_state_dict(model_path)
     params = {"params": jax.tree.map(jnp.asarray, convert_cambrian(sd, config))}
+    if config.lm_head_dtype == "bf16" and "lm_head" in params["params"]:
+        params["params"]["lm_head"] = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), params["params"]["lm_head"])
     if quant_mode:
         from ..ops.quant import quantize_dense_tree
 

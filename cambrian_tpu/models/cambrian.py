@@ -41,6 +41,15 @@ from .sva import VisionTokenSampler, Mlp
 from .projectors import build_projector_module
 
 
+def _f32_acc_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                         preferred_element_type=None):
+    """dot_general that always accumulates in fp32 (bf16 lm_head option:
+    bf16 operand reads off HBM, fp32 MXU accumulation, fp32 logits out)."""
+    return jax.lax.dot_general(lhs, rhs, dimension_numbers,
+                               precision=precision,
+                               preferred_element_type=jnp.float32)
+
+
 def window_features(feats: jnp.ndarray, q_side: int) -> jnp.ndarray:
     """[B, S*S, C] tower grid -> [B, q_side^2, (S/q_side)^2, C] local windows
     (the reshape/permute equivalent of cambrian_arch.py:271-287)."""
@@ -153,8 +162,19 @@ class CambrianLM(nn.Module):
         ]
         self.norm = decoder_norm(c, "norm")
         if not c.tie_word_embeddings:
-            self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=jnp.float32,
-                                    name="lm_head")
+            if c.lm_head_dtype == "bf16":
+                # Serving option (measured, docs/PERF_NOTES.md): the fp32
+                # vocab head is the single largest HBM read of a decode step
+                # (e.g. 2.1 GB at 8B/128k vocab). bf16 storage + bf16 GEMM
+                # with an fp32 accumulator halves that read; greedy parity
+                # is gated in tests/test_inference.py.
+                self.lm_head = nn.Dense(
+                    c.vocab_size, use_bias=False, dtype=jnp.bfloat16,
+                    param_dtype=jnp.bfloat16, name="lm_head",
+                    dot_general=_f32_acc_dot_general)
+            else:
+                self.lm_head = nn.Dense(c.vocab_size, use_bias=False,
+                                        dtype=jnp.float32, name="lm_head")
 
     # ------------------------------------------------------------------
     # vision connector
@@ -381,11 +401,20 @@ class CambrianLM(nn.Module):
         return hidden, run_cache
 
     def _logits(self, hidden):
+        bf16_head = self.cfg.lm_head_dtype == "bf16"
         if self.cfg.tie_word_embeddings:
-            emb = self.embed_tokens.embedding.astype(jnp.float32)
-            logits = hidden.astype(jnp.float32) @ emb.T
+            if bf16_head:
+                emb = self.embed_tokens.embedding.astype(jnp.bfloat16)
+                logits = _f32_acc_dot_general(
+                    hidden.astype(jnp.bfloat16), emb.T,
+                    (((hidden.ndim - 1,), (0,)), ((), ())))
+            else:
+                emb = self.embed_tokens.embedding.astype(jnp.float32)
+                logits = hidden.astype(jnp.float32) @ emb.T
         else:
-            logits = self.lm_head(hidden.astype(jnp.float32))
+            logits = self.lm_head(
+                hidden.astype(jnp.bfloat16 if bf16_head else jnp.float32))
+            logits = logits.astype(jnp.float32)
         if self.cfg.logit_scale is not None:  # cohere
             logits = logits * self.cfg.logit_scale
         if self.cfg.final_logit_softcapping is not None:  # gemma2

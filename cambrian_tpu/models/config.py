@@ -76,6 +76,11 @@ class CambrianConfig:
     scan_layers: bool = False          # lax.scan over decoder layers (uniform stacks)
     quantize: Optional[str] = None     # "int8": weight-only quantized decoder
                                        # GEMMs (ops/quant.py, load_8bit path)
+    lm_head_dtype: Optional[str] = None  # "bf16": store the vocab head bf16
+                                       # and run its GEMM bf16 with fp32
+                                       # accumulation (serving option; the
+                                       # default keeps the reference's fp32
+                                       # logits contract, cambrian_llama.py:409)
 
     def __post_init__(self):
         if self.head_dim is None:

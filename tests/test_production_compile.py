@@ -37,7 +37,9 @@ import time
 import numpy as np
 import pytest
 
-if __name__ == "__main__":  # standalone: conftest.py does this under pytest
+if __name__ == "__main__" and not os.environ.get(
+        "PRODUCTION_COMPILE_TOPOLOGY"):
+    # standalone: conftest.py does this under pytest
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -47,8 +49,25 @@ if __name__ == "__main__":  # standalone: conftest.py does this under pytest
 import jax
 import jax.numpy as jnp
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get(
+        "PRODUCTION_COMPILE_TOPOLOGY"):
     jax.config.update("jax_platforms", "cpu")
+
+
+def _devices(n):
+    """Devices for the AOT mesh. With PRODUCTION_COMPILE_TOPOLOGY set (e.g.
+    "v5e:2x4"), abstract devices from a TPU topology descriptor: the REAL
+    TPU compiler then does buffer assignment with the real kernels (Pallas
+    attention, int8 matmul), so temp_size is TPU-faithful — measured r4;
+    the CPU backend's temps overstate those paths (module docstring)."""
+    topo = os.environ.get("PRODUCTION_COMPILE_TOPOLOGY")
+    if topo:
+        from jax.experimental import topologies
+        devs = topologies.get_topology_desc(
+            platform="tpu", topology_name=topo).devices
+        assert len(devs) >= n, (topo, len(devs), n)
+        return list(devs)[:n]
+    return jax.devices()[:n]
 
 V5E_HBM = 16 * 1024 ** 3  # bytes per v5e chip
 
@@ -171,7 +190,7 @@ def _compile_train(cfg, mesh_shape, per_device_bs, stage1, name,
     data_ax, fsdp_ax, model_ax = mesh_shape
     n_dev = data_ax * fsdp_ax * model_ax
     mesh = create_mesh(MeshConfig(data=data_ax, fsdp=fsdp_ax, model=model_ax),
-                       devices=jax.devices()[:n_dev])
+                       devices=_devices(n_dev))
     batch_size = per_device_bs * data_ax * fsdp_ax
 
     t0 = time.time()
@@ -181,13 +200,21 @@ def _compile_train(cfg, mesh_shape, per_device_bs, stage1, name,
     tconf = TrainConfig(learning_rate=1e-3, mm_vision_sampler_lr=1e-4,
                         total_steps=1000, tune_mm_mlp_adapter=stage1)
     if stage1:
-        # the trainer stores frozen params bf16 (optimizer.cast_frozen_params)
-        from cambrian_tpu.train.optimizer import label_params
+        # the trainer stores frozen params bf16 (optimizer.cast_frozen_params;
+        # norm scales/biases exempt — they are applied in fp32)
+        from cambrian_tpu.train.optimizer import _NORM_PATH_RE, label_params
         labels = label_params(param_shapes, tconf)
-        param_shapes = jax.tree.map(
-            lambda s, l: _sds(s.shape, jnp.bfloat16)
-            if l == "frozen" and s.dtype == jnp.float32 else s,
-            param_shapes, labels)
+
+        def _cast(path, s, l):
+            comps = [getattr(k, "key", getattr(k, "name", str(k)))
+                     for k in path]
+            if (l == "frozen" and s.dtype == jnp.float32
+                    and not any(_NORM_PATH_RE.search(c) for c in comps)):
+                return _sds(s.shape, jnp.bfloat16)
+            return s
+
+        param_shapes = jax.tree_util.tree_map_with_path(
+            _cast, param_shapes, labels)
     state_shapes = jax.eval_shape(
         lambda p: init_train_state(p, tconf), param_shapes)
     # eval_shape erases the static tx; rebuild the real one for the step fn
@@ -250,7 +277,7 @@ def _compile_generate(cfg, mesh_shape, batch_size, name, max_len=1024,
     if n_dev > 1:
         mesh = create_mesh(
             MeshConfig(data=data_ax, fsdp=fsdp_ax, model=model_ax),
-            devices=jax.devices()[:n_dev])
+            devices=_devices(n_dev))
 
     t0 = time.time()
     model, towers, param_shapes, tower_shapes, batch = _build_abstract(
@@ -340,6 +367,11 @@ def _cfg_8b(**kw):
     return cambrian_8b().replace(**kw)
 
 
+def _cfg_13b(**kw):
+    from cambrian_tpu.models.config import cambrian_13b
+    return cambrian_13b().replace(**kw)
+
+
 def _cfg_34b(**kw):
     from cambrian_tpu.models.config import cambrian_34b
     # builder.py auto-enables scan_layers for >=40-layer checkpoints
@@ -351,6 +383,14 @@ CONFIGS = {
         _cfg_8b(), (1, 8, 1), 8, stage1=True, name="8b_stage1"),
     "8b_stage2": lambda: _compile_train(
         _cfg_8b(), (1, 8, 1), 8, stage1=False, name="8b_stage2"),
+    # 13B (pretrain/finetune_cambrian_13b.sh): BASELINE config #3 — same
+    # (1,8,1) mesh as 8B, Vicuna geometry (image_position 35, stride 4)
+    "13b_stage1": lambda: _compile_train(
+        _cfg_13b(scan_layers=True), (1, 8, 1), 8, stage1=True,
+        name="13b_stage1"),
+    "13b_serve_int4": lambda: _compile_generate(
+        _cfg_13b(quantize="int4", scan_layers=True), (1, 1, 1), 1,
+        name="13b_serve_int4"),
     "34b_stage1": lambda: _compile_train(
         _cfg_34b(), (1, 2, 4), 4, stage1=True, name="34b_stage1"),
     "34b_stage2": lambda: _compile_train(
@@ -376,7 +416,8 @@ def _assert_no_reshard_warnings(captured_err: str):
             raise AssertionError(f"partitioner reshard warning: {line}")
 
 
-@pytest.mark.parametrize("name", ["8b_stage1", "8b_serve_int8"])
+@pytest.mark.parametrize("name", ["8b_stage1", "8b_serve_int8",
+                                  "13b_stage1", "13b_serve_int4"])
 def test_production_compile_fits_v5e(name, capfd):
     """The single-chip-serving and stage-1-training configs must fit v5e HBM
     per device (the documented bf16-compute / fp32-Adam budget). The fit

@@ -10,6 +10,7 @@ Layout: NHWC throughout (TPU conv layout); depthwise 7x7 via
 feature_group_count.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Sequence, Tuple
 
@@ -17,8 +18,20 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.activations import gelu_exact
-from ...ops.norms import StreamLayerNorm
+from ...ops.norms import (
+    DenseParams,
+    LayerNormParams,
+    StreamLayerNorm,
+    layer_norm_into_dense,
+)
 from ...ops.resize import resize_bilinear
+
+
+def _ln_into_gemm() -> bool:
+    """A/B flag for the LN-through-GEMM fold (only-wire-what-wins policy:
+    default off until the on-chip measurement lands in docs/PERF_NOTES.md;
+    parity gated by tests/test_norms_stream.py either way)."""
+    return os.environ.get("CAMBRIAN_LN_INTO_GEMM", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -66,8 +79,18 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype, name="dwconv",
         )(x4)
         h = h.transpose(1, 2, 0, 3).reshape(hh * ww * b, c)
-        h = StreamLayerNorm(epsilon=self.ln_eps, name="norm")(h)
-        h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
+        if _ln_into_gemm():
+            # fold the LN normalize through pwconv1 (ops/norms.py::
+            # layer_norm_into_dense): the GEMM reads RAW bf16 activations
+            # and the normalize leaves its prologue; same param tree
+            ln_scale, ln_bias = LayerNormParams(c, name="norm")()
+            kernel, dbias = DenseParams(c, 4 * c, name="pwconv1")()
+            h = layer_norm_into_dense(h, ln_scale, ln_bias, kernel, dbias,
+                                      eps=self.ln_eps,
+                                      compute_dtype=self.dtype)
+        else:
+            h = StreamLayerNorm(epsilon=self.ln_eps, name="norm")(h)
+            h = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(h)
         h = gelu_exact(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(h)
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,), jnp.float32)

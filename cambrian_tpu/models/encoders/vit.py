@@ -21,7 +21,22 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.activations import gelu_exact
-from ...ops.norms import StreamLayerNorm
+from ...ops.norms import (
+    DenseParams,
+    LayerNormParams,
+    StreamLayerNorm,
+    layer_norm_into_dense,
+    layer_norm_stream,
+)
+
+
+def _ln_into_gemm_vit() -> bool:
+    """A/B flag: fold norm2 through the MLP's first GEMM(s) (ops/norms.py::
+    layer_norm_into_dense). Off by default until the on-chip measurement
+    lands (only-wire-what-wins; see ConvNeXt's flag for the measured case)."""
+    import os
+
+    return os.environ.get("CAMBRIAN_LN_INTO_GEMM_VIT", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -184,28 +199,58 @@ class ViTAttention(nn.Module):
 
 
 class ViTMlp(nn.Module):
+    """``ln`` (scale, bias, eps): when given, the caller skipped its pre-MLP
+    LayerNorm and this module folds it through the first GEMM(s)
+    (layer_norm_into_dense) — param tree unchanged."""
+
     cfg: ViTConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
         c = self.cfg
         if c.swiglu_ln:
             # EVA-02 sub-LN SwiGLU (TrV block): silu(w1 x) * (w2 x) -> LN ->
             # w3 (eva_clip_encoder.py loads this trunk; timm Eva "SwiGLU with
             # scale_mlp", checkpoint keys fc1_g/fc1_x/norm/fc2 or w1/w2/ffn_ln/w3)
-            g = nn.Dense(c.intermediate_size, dtype=self.dtype, name="w1")(x)
-            u = nn.Dense(c.intermediate_size, dtype=self.dtype, name="w2")(x)
+            if ln is not None:
+                s, b, eps = ln
+                kg, bg = DenseParams(c.hidden_size, c.intermediate_size,
+                                     name="w1")()
+                ku, bu = DenseParams(c.hidden_size, c.intermediate_size,
+                                     name="w2")()
+                g = layer_norm_into_dense(x, s, b, kg, bg, eps=eps,
+                                          compute_dtype=self.dtype)
+                u = layer_norm_into_dense(x, s, b, ku, bu, eps=eps,
+                                          compute_dtype=self.dtype)
+            else:
+                g = nn.Dense(c.intermediate_size, dtype=self.dtype, name="w1")(x)
+                u = nn.Dense(c.intermediate_size, dtype=self.dtype, name="w2")(x)
             h = nn.silu(g) * u
             h = StreamLayerNorm(epsilon=c.ln_eps, name="ffn_ln")(h)
             return nn.Dense(c.hidden_size, dtype=self.dtype, name="w3")(h)
         if c.swiglu:
             # DINOv2 SwiGLUFFN: weights_in -> split -> silu(x1)*x2 -> weights_out
-            h = nn.Dense(2 * c.intermediate_size, dtype=self.dtype, name="weights_in")(x)
+            if ln is not None:
+                s, b, eps = ln
+                kin, bin_ = DenseParams(c.hidden_size, 2 * c.intermediate_size,
+                                        name="weights_in")()
+                h = layer_norm_into_dense(x, s, b, kin, bin_, eps=eps,
+                                          compute_dtype=self.dtype)
+            else:
+                h = nn.Dense(2 * c.intermediate_size, dtype=self.dtype,
+                             name="weights_in")(x)
             x1, x2 = jnp.split(h, 2, axis=-1)
             h = nn.silu(x1) * x2
             return nn.Dense(c.hidden_size, dtype=self.dtype, name="weights_out")(h)
-        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        if ln is not None:
+            s, b, eps = ln
+            k1, b1 = DenseParams(c.hidden_size, c.intermediate_size,
+                                 name="fc1")()
+            h = layer_norm_into_dense(x, s, b, k1, b1, eps=eps,
+                                      compute_dtype=self.dtype)
+        else:
+            h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="fc1")(x)
         h = _activation(c.act)(h)
         return nn.Dense(c.hidden_size, dtype=self.dtype, name="fc2")(h)
 
@@ -224,8 +269,13 @@ class ViTBlock(nn.Module):
             g1 = self.param("ls1_gamma", nn.initializers.ones, (c.hidden_size,), jnp.float32)
             h = h * g1.astype(h.dtype)
         x = x + h
-        h = StreamLayerNorm(epsilon=c.ln_eps, name="norm2")(x)
-        h = ViTMlp(c, dtype=self.dtype, name="mlp")(h)
+        if _ln_into_gemm_vit():
+            s2, b2 = LayerNormParams(c.hidden_size, name="norm2")()
+            h = ViTMlp(c, dtype=self.dtype, name="mlp")(
+                x, ln=(s2, b2, c.ln_eps))
+        else:
+            h = StreamLayerNorm(epsilon=c.ln_eps, name="norm2")(x)
+            h = ViTMlp(c, dtype=self.dtype, name="mlp")(h)
         if c.layer_scale:
             g2 = self.param("ls2_gamma", nn.initializers.ones, (c.hidden_size,), jnp.float32)
             h = h * g2.astype(h.dtype)

@@ -233,3 +233,80 @@ class StreamLayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
         return layer_norm_stream(x, scale, bias, self.epsilon)
+
+
+def layer_norm_into_dense(x: jnp.ndarray, ln_scale: jnp.ndarray,
+                          ln_bias: jnp.ndarray, kernel: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None,
+                          eps: float = 1e-6,
+                          compute_dtype: Optional[jnp.dtype] = None
+                          ) -> jnp.ndarray:
+    """``Dense(LayerNorm(x))`` with the normalize folded THROUGH the GEMM.
+
+    With per-row fp32 stats mu, r = rsqrt(var + eps) and W' = gamma ∘ W
+    (column-scaled kernel):
+
+        LN(x) @ W + b = r·(x @ W') − (r·mu)·colsum(W') + beta @ W + b
+
+    so the GEMM consumes the RAW bf16 activations — the per-element
+    normalize work leaves the GEMM prologue entirely (layer_norm_stream's
+    normalize fuses there and taxes the MXU pipeline; stage-0 ConvNeXt
+    double-GEMM fusions measured 65% MXU, docs/PERF_NOTES.md r3 profile) —
+    and the correction is two per-row fp32 scalars against two [N] vectors,
+    fused into the GEMM epilogue. Weight-sized preprocessing (gamma ∘ W and
+    its column sums) is O(C·N), negligible against the O(rows·C·N) GEMM.
+
+    Numerics: statistics are fp32 (repo discipline); the GEMM rounds RAW x
+    to bf16 instead of the normalized x-hat, a same-magnitude rounding. The
+    E[x]·colsum correction subtracts in fp32; cancellation only matters when
+    |mean| >> std, where LN itself is ill-conditioned
+    (tests/test_norms_stream.py gates parity).
+    """
+    dtype = compute_dtype or x.dtype
+    s1, s2 = _ln_stats_vpu(x)                                    # [rows, 1]
+    r = jax.lax.rsqrt(jnp.maximum(s2 - s1 * s1, 0.0) + eps)      # [rows, 1]
+    w32 = kernel.astype(jnp.float32)
+    wg = ln_scale.astype(jnp.float32)[:, None] * w32             # [C, N]
+    colsum = jnp.sum(wg, axis=0)                                 # [N]
+    const = ln_bias.astype(jnp.float32) @ w32                    # [N]
+    if bias is not None:
+        const = const + bias.astype(jnp.float32)
+    y = jax.lax.dot_general(
+        jax.lax.optimization_barrier(x).astype(dtype), wg.astype(dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * r - (r * s1) * colsum + const
+    return y.astype(dtype)
+
+
+class LayerNormParams(nn.Module):
+    """Parameter holder matching StreamLayerNorm/nn.LayerNorm's tree
+    ({scale, bias}, fp32) for call sites that consume the params directly
+    (layer_norm_into_dense) — checkpoints see an identical structure."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({kernel, bias}, fp32,
+    lecun_normal/zeros init) for fused call sites."""
+
+    in_dim: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias

@@ -91,3 +91,104 @@ def test_mxu_path_3d_input(monkeypatch):
     assert got.shape == x.shape
     ref = layer_norm(x.astype(jnp.float32), w, b, 1e-6)
     _assert_one_ulp(got, ref)
+
+
+def test_layer_norm_into_dense_parity():
+    """Dense(LN(x)) folded through the GEMM (layer_norm_into_dense) must
+    match the unfused StreamLayerNorm -> Dense pipeline to bf16 rounding —
+    the gate for CAMBRIAN_LN_INTO_GEMM (ConvNeXt block fast path)."""
+    import jax
+    from cambrian_tpu.ops.norms import layer_norm_into_dense, layer_norm_stream
+
+    rng = np.random.default_rng(0)
+    rows, c, n = 512, 384, 1536
+    # realistic post-dwconv scale: nonzero mean, O(1) std
+    x = jnp.asarray(rng.standard_normal((rows, c)) * 1.3 + 0.7, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((c,)) * 0.2 + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((c, n)) * 0.05, jnp.float32)
+    dbias = jnp.asarray(rng.standard_normal((n,)) * 0.02, jnp.float32)
+
+    fused = layer_norm_into_dense(x, w, b, kernel, dbias, eps=1e-6,
+                                  compute_dtype=jnp.bfloat16)
+    xn = layer_norm_stream(x, w, b, 1e-6)
+    ref = (xn.astype(jnp.bfloat16) @ kernel.astype(jnp.bfloat16)
+           + dbias.astype(jnp.bfloat16))
+
+    assert fused.dtype == jnp.bfloat16
+    f = np.asarray(fused, np.float32)
+    r = np.asarray(ref, np.float32)
+    # bf16-rounding-level agreement, scale-relative
+    scale = np.abs(r).max()
+    np.testing.assert_allclose(f, r, atol=0.02 * scale, rtol=0.05)
+
+    # fp32 exactness of the algebra itself (no rounding): identical inputs
+    # in fp32 must agree tightly
+    x32 = x.astype(jnp.float32)
+    fused32 = layer_norm_into_dense(x32, w, b, kernel, dbias, eps=1e-6,
+                                    compute_dtype=jnp.float32)
+    from cambrian_tpu.ops.norms import layer_norm
+    ref32 = layer_norm(x32, w, b, 1e-6) @ kernel + dbias
+    np.testing.assert_allclose(np.asarray(fused32), np.asarray(ref32),
+                               atol=2e-4 * float(np.abs(ref32).max()),
+                               rtol=1e-3)
+
+
+def test_convnext_block_ln_into_gemm_parity(monkeypatch):
+    """The full ConvNeXtBlock under CAMBRIAN_LN_INTO_GEMM=1 matches the
+    default path on the same params (tree structure identical)."""
+    import jax
+    from cambrian_tpu.models.encoders.convnext import ConvNeXtBlock
+
+    rng = np.random.default_rng(2)
+    hh = ww = 8
+    bsz, c = 2, 128
+    xf = jnp.asarray(rng.standard_normal((hh * ww * bsz, c)), jnp.bfloat16)
+
+    blk = ConvNeXtBlock(c, dtype=jnp.bfloat16)
+    monkeypatch.setenv("CAMBRIAN_LN_INTO_GEMM", "0")
+    params = blk.init(jax.random.PRNGKey(0), xf, (hh, ww, bsz))
+    base = blk.apply(params, xf, (hh, ww, bsz))
+
+    monkeypatch.setenv("CAMBRIAN_LN_INTO_GEMM", "1")
+    params_fused = blk.init(jax.random.PRNGKey(0), xf, (hh, ww, bsz))
+    # identical param trees (names, shapes, dtypes)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_fused)
+    fused = blk.apply(params, xf, (hh, ww, bsz))
+
+    b0 = np.asarray(base, np.float32)
+    f0 = np.asarray(fused, np.float32)
+    scale = np.abs(b0).max()
+    np.testing.assert_allclose(f0, b0, atol=0.02 * scale, rtol=0.05)
+
+
+@pytest.mark.parametrize("variant", ["plain", "swiglu", "swiglu_ln"])
+def test_vit_block_ln_into_gemm_parity(monkeypatch, variant):
+    """ViTBlock under CAMBRIAN_LN_INTO_GEMM_VIT=1 matches the default path
+    on the same params across all three MLP variants."""
+    import jax
+    from cambrian_tpu.models.encoders.vit import ViTBlock, ViTConfig
+
+    cfg = ViTConfig(
+        image_size=32, patch_size=8, hidden_size=128, intermediate_size=256,
+        num_layers=1, num_heads=4,
+        swiglu=(variant == "swiglu"), swiglu_ln=(variant == "swiglu_ln"))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 17, 128)), jnp.bfloat16)
+
+    blk = ViTBlock(cfg, dtype=jnp.bfloat16)
+    monkeypatch.setenv("CAMBRIAN_LN_INTO_GEMM_VIT", "0")
+    params = blk.init(jax.random.PRNGKey(0), x)
+    base = blk.apply(params, x)
+
+    monkeypatch.setenv("CAMBRIAN_LN_INTO_GEMM_VIT", "1")
+    params_fused = blk.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_fused)
+    fused = blk.apply(params, x)
+
+    b0 = np.asarray(base, np.float32)
+    f0 = np.asarray(fused, np.float32)
+    scale = np.abs(b0).max()
+    np.testing.assert_allclose(f0, b0, atol=0.02 * scale, rtol=0.05)

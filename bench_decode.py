@@ -467,9 +467,13 @@ def serving_13b_int4():
     row (VERDICT r3 item 3/5)."""
     from cambrian_tpu.models.config import cambrian_13b
 
+    # unrolled decode: the r4 trace showed scan+lax.switch param selection
+    # copying each selected layer's weights every step (2560 conditionals ~
+    # 0.34 ms each) — scan trades decode throughput for compile time and
+    # bounded HBM; on one chip with int4 weights the unrolled program wins
     cfg = cambrian_13b().replace(quantize="int4",
                                  tokenizer_model_max_length=2048,
-                                 scan_layers=True)
+                                 scan_layers=False)
     _quant_serving_decode(
         cfg,
         "vicuna-13B int4 multimodal SERVING decode "
@@ -491,7 +495,7 @@ def serving_34b_int4_standin():
     from cambrian_tpu.models.config import cambrian_34b
 
     cfg = cambrian_34b().replace(
-        quantize="int4", tokenizer_model_max_length=2048, scan_layers=True,
+        quantize="int4", tokenizer_model_max_length=2048, scan_layers=False,
         num_hidden_layers=30,
         # keep the in-decoder SVA cadence (stride 7) within 30 layers
         num_of_vision_sampler_layers=5,

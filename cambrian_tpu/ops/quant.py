@@ -17,6 +17,7 @@ matmul'd on the MXU.
 """
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -80,7 +81,7 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
 
     m_pad = _round_up(m, block_m)
     n_pad = _round_up(n, block_n)
-    block_k = min(2048, _round_up(k, 128))
+    block_k = _pick_block_k(k, 128)
     k_pad = _round_up(k, block_k)
     k_blocks = k_pad // block_k
     xp = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))[None]
@@ -160,6 +161,49 @@ def dequantize_int4(packed: jnp.ndarray, scale: jnp.ndarray,
     return deq.reshape(2 * k2, n).astype(dtype)
 
 
+def _pick_block_k(k: int, group: int, cap: int = 2560) -> int:
+    """Largest k-block <= cap that DIVIDES k (and is 256/group aligned):
+    a dividing block means jnp.pad of the weight is a no-op the compiler
+    elides. The r4 13B-int4 decode trace showed per-call weight pads
+    (k=5120 -> k_pad=6144) burning ~300 ms of a 7.5 s run in pad fusions
+    + copies; k=5120 gets block_k=1280, k=13824 gets 2304."""
+    for bk in range(min(cap, k), 255, -256):
+        if k % bk == 0 and bk % group == 0 and bk % 256 == 0:
+            return bk
+    return min(2048, _round_up(k, 2 * group))
+
+
+def _q4_matmul_kernel_v2(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
+                         k_blocks):
+    """(m, n, k) grid cell of the int4 matmul, v2 (r4): the packed byte tile
+    is reinterpreted as int4 via ``pltpu.bitcast`` — Mosaic's int4->bf16
+    convert lands the nibbles back in the ORIGINAL K-row order (verified:
+    byte r's (low, high) -> rows (2r, 2r+1)), so dequant is ONE convert and
+    ONE groupwise mul per element, in bf16 lanes, and the matmul is a single
+    full-K dot. The v1 kernel spent ~9 int32 VPU ops per packed byte on
+    shift-based sign extension and ran decode at ~11% of the weight-HBM
+    roofline (13.0 tok/s at 13B int4, docs/PERF_NOTES.md r4)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]                                    # [bm, bk]
+    w4 = pltpu.bitcast(w_ref[0], jnp.int4)          # [bk, bn], original order
+    w = w4.astype(x.dtype)
+    bk, bn = w.shape
+    scale = scale_ref[0].astype(x.dtype)            # [groups_in_block, bn]
+    g = scale.shape[0]
+    w = (w.reshape(g, bk // g, bn) * scale[:, None, :]).reshape(bk, bn)
+    acc_ref[...] += jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(kb == k_blocks - 1)
+    def _write():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _q4_matmul_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, acc_ref, *,
                       k_blocks):
     """(m, n, k) grid cell of the int4 matmul; K innermost with an fp32 VMEM
@@ -204,16 +248,61 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
     k2, n = w_q4.shape
     group = int4_group(k, group)
     assert k == 2 * k2 and k % group == 0, (k, k2, group)
-    block_k = min(2048, _round_up(k, 2 * group))
-    # Pallas-path alignment contract: the even/odd activation halves put
-    # block_k//2 in the lane dim (must be a 128 multiple) and each k-block
-    # must hold >= 1 whole scale group. Unaligned K (possible only via the
-    # group=K fallback of int4_group) takes the XLA dequant matmul instead.
+    block_k = _pick_block_k(k, group)
+    # Pallas-path alignment contract: block_k must be lane-aligned when
+    # halved and hold >= 1 whole scale group. Unaligned K (possible only via
+    # the group=K fallback of int4_group) takes the XLA dequant matmul.
     aligned = (block_k % 256 == 0) and (block_k % group == 0) \
         and (block_k // group >= 1)
     if jax.devices()[0].platform != "tpu" or not aligned:
         return (x @ dequantize_int4(w_q4, scale, x.dtype)).astype(x.dtype)
+    if os.environ.get("CAMBRIAN_INT4_V1") == "1":
+        return _int4_matmul_v1(x, w_q4, scale, block_m, block_n, group,
+                               block_k)
 
+    m_pad = _round_up(m, block_m)
+    n_pad = _round_up(n, block_n)
+    k_pad = _round_up(k, block_k)
+    k_blocks = k_pad // block_k
+    xp = jnp.pad(x, ((0, m_pad - m), (0, k_pad - k)))[None]
+    wp = jnp.pad(w_q4, ((0, (k_pad - k) // 2), (0, n_pad - n)))[None]
+    sp = jnp.pad(scale.astype(jnp.float32),
+                 ((0, (k_pad - k) // group), (0, n_pad - n)),
+                 constant_values=1.0)[None]
+
+    grid = (m_pad // block_m, n_pad // block_n, k_blocks)
+    gpb = block_k // group  # scale rows per k block
+    out = pl.pallas_call(
+        functools.partial(_q4_matmul_kernel_v2, k_blocks=k_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_m, block_k),
+                         lambda i, j, kb: (0, i, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k // 2, block_n),
+                         lambda i, j, kb: (0, kb, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpb, block_n),
+                         lambda i, j, kb: (0, kb, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_m, block_n),
+                               lambda i, j, kb: (0, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, m_pad, n_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * k_pad,
+            bytes_accessed=xp.size * xp.dtype.itemsize + wp.size
+            + sp.size * 4,
+            transcendentals=0,
+        ),
+    )(xp, wp, sp)
+    return out[0, :m, :n]
+
+
+def _int4_matmul_v1(x, w_q4, scale, block_m, block_n, group, block_k):
+    """v1 even/odd-split kernel, kept for A/B (CAMBRIAN_INT4_V1=1): measured
+    13.0 tok/s at 13B-int4 decode vs v2's bitcast path (docs/PERF_NOTES.md)."""
+    m, k = x.shape
+    k2, n = w_q4.shape
     m_pad = _round_up(m, block_m)
     n_pad = _round_up(n, block_n)
     k_pad = _round_up(k, block_k)

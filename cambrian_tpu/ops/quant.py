@@ -166,15 +166,19 @@ def _pick_block_k(k: int, group: int, cap: int = 2560) -> int:
     a dividing block means jnp.pad of the weight is a no-op the compiler
     elides. The r4 13B-int4 decode trace showed per-call weight pads
     (k=5120 -> k_pad=6144) burning ~300 ms of a 7.5 s run in pad fusions
-    + copies; k=5120 gets block_k=1280, k=13824 gets 2304."""
-    for bk in range(min(cap, k), 255, -256):
-        if k % bk == 0 and bk % group == 0 and bk % 256 == 0:
-            return bk
+    + copies. Blocks whose scale-row count tiles the (8, 128) layout are
+    preferred (Mosaic block rule); otherwise the kernel dynamic-slices the
+    full scale array (tiny). k=5120 -> 1024, k=13824 -> 2304."""
+    for need_aligned_scales in (True, False):
+        for bk in range(min(cap, k), 255, -256):
+            if k % bk == 0 and bk % group == 0 and bk % 256 == 0:
+                if not need_aligned_scales or (bk // group) % 8 == 0:
+                    return bk
     return min(2048, _round_up(k, 2 * group))
 
 
 def _q4_matmul_kernel_v2(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
-                         k_blocks):
+                         k_blocks, gpb):
     """(m, n, k) grid cell of the int4 matmul, v2 (r4): the packed byte tile
     is reinterpreted as int4 via ``pltpu.bitcast`` — Mosaic's int4->bf16
     convert lands the nibbles back in the ORIGINAL K-row order (verified:
@@ -182,7 +186,12 @@ def _q4_matmul_kernel_v2(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
     ONE groupwise mul per element, in bf16 lanes, and the matmul is a single
     full-K dot. The v1 kernel spent ~9 int32 VPU ops per packed byte on
     shift-based sign extension and ran decode at ~11% of the weight-HBM
-    roofline (13.0 tok/s at 13B int4, docs/PERF_NOTES.md r4)."""
+    roofline (13.0 tok/s at 13B int4, docs/PERF_NOTES.md r4).
+
+    ``gpb``: scale groups per k-block. When the caller couldn't give the
+    scale a (8, 128)-tiling block (gpb % 8 != 0), scale_ref holds ALL scale
+    rows and this block's rows are dynamic-sliced here — an unaligned
+    sublane slice, but on an [K/group, bn] fp32 tile measured in KB."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -193,9 +202,10 @@ def _q4_matmul_kernel_v2(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
     w4 = pltpu.bitcast(w_ref[0], jnp.int4)          # [bk, bn], original order
     w = w4.astype(x.dtype)
     bk, bn = w.shape
-    scale = scale_ref[0].astype(x.dtype)            # [groups_in_block, bn]
-    g = scale.shape[0]
-    w = (w.reshape(g, bk // g, bn) * scale[:, None, :]).reshape(bk, bn)
+    s_all = scale_ref[0]
+    # rows beyond gpb are 8-alignment padding (static slice drops them)
+    scale = s_all[:gpb].astype(x.dtype)             # [gpb, bn]
+    w = (w.reshape(gpb, bk // gpb, bn) * scale[:, None, :]).reshape(bk, bn)
     acc_ref[...] += jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -272,16 +282,26 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
 
     grid = (m_pad // block_m, n_pad // block_n, k_blocks)
     gpb = block_k // group  # scale rows per k block
+    gpb_pad = gpb if (gpb % 8 == 0 or k_blocks == 1) else _round_up(gpb, 8)
+    if gpb_pad != gpb:
+        # gpb rows don't tile (8, 128): pad each k-block's scale rows to 8
+        # (fp32 KBs, loop-invariant -> hoisted out of decode loops)
+        sb = sp.reshape(k_blocks, gpb, n_pad)
+        sb = jnp.pad(sb, ((0, 0), (0, gpb_pad - gpb), (0, 0)),
+                     constant_values=1.0)
+        sp = sb.reshape(1, k_blocks * gpb_pad, n_pad)
+    scale_spec = pl.BlockSpec((1, gpb_pad, block_n),
+                              lambda i, j, kb: (0, kb, j),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_q4_matmul_kernel_v2, k_blocks=k_blocks),
+        functools.partial(_q4_matmul_kernel_v2, k_blocks=k_blocks, gpb=gpb),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_m, block_k),
                          lambda i, j, kb: (0, i, kb), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k // 2, block_n),
                          lambda i, j, kb: (0, kb, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gpb, block_n),
-                         lambda i, j, kb: (0, kb, j), memory_space=pltpu.VMEM),
+            scale_spec,
         ],
         out_specs=pl.BlockSpec((1, block_m, block_n),
                                lambda i, j, kb: (0, i, j),

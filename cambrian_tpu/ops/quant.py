@@ -214,6 +214,42 @@ def _q4_matmul_kernel_v2(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _q4_matmul_kernel_v3(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
+                         k_blocks, gpb):
+    """v3 (r4): groupwise scaling applied to PARTIAL SUMS, not weights.
+
+    The r4 decode-chunk profile showed the int4 GEMVs at ~2.7x their weight
+    DMA time — VPU-bound on dequant (v2 does one convert + one mul per
+    weight element). Since y = sum_g scale[g] * (x_g @ w4_g) column-wise,
+    the groupwise mul moves to the [bm, bn] partial results (bm=8 at decode:
+    ~64x fewer muls); the weight side keeps only the unavoidable int4->bf16
+    convert. One dot per scale group, statically unrolled (Mosaic dot is
+    2-D; gpb is 8/20 at production K-blocks)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0]                                    # [bm, bk]
+    w4 = pltpu.bitcast(w_ref[0], jnp.int4)          # [bk, bn], original order
+    w = w4.astype(x.dtype)
+    bk, bn = w.shape
+    group = bk // gpb
+    s_all = scale_ref[0]                            # [gpb(_pad), bn] fp32
+    acc = acc_ref[...]
+    for g in range(gpb):
+        part = jax.lax.dot_general(
+            x[:, g * group:(g + 1) * group], w[g * group:(g + 1) * group],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc = acc + part * s_all[g][None, :]
+    acc_ref[...] = acc
+
+    @pl.when(kb == k_blocks - 1)
+    def _write():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
 def _q4_matmul_kernel(xe_ref, xo_ref, w_ref, scale_ref, o_ref, acc_ref, *,
                       k_blocks):
     """(m, n, k) grid cell of the int4 matmul; K innermost with an fp32 VMEM
@@ -293,8 +329,13 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
     scale_spec = pl.BlockSpec((1, gpb_pad, block_n),
                               lambda i, j, kb: (0, kb, j),
                               memory_space=pltpu.VMEM)
+    # v3 (partial-sum scaling) is the default: 41.5 vs 33.8 tok/s at 13B-int4
+    # serving (docs/PERF_NOTES.md r4). CAMBRIAN_INT4_V2=1 keeps v2 for A/B.
+    kern = (_q4_matmul_kernel_v2
+            if os.environ.get("CAMBRIAN_INT4_V2", "0") == "1"
+            else _q4_matmul_kernel_v3)
     out = pl.pallas_call(
-        functools.partial(_q4_matmul_kernel_v2, k_blocks=k_blocks, gpb=gpb),
+        functools.partial(kern, k_blocks=k_blocks, gpb=gpb),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_m, block_k),

@@ -146,6 +146,43 @@ def test_int4_matmul_matches_dequant():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("version", ["v2", "v3"])
+def test_int4_pallas_kernel_interpret_parity(version):
+    """The device int4 kernels (v2 weight-mul, v3 partial-sum scaling) in
+    pallas interpret mode vs the dequant oracle — CPU CI otherwise only
+    exercises the XLA fallback path of int4_matmul."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from cambrian_tpu.ops import quant
+
+    k, n, bm, bn, bk = 512, 256, 8, 128, 256
+    x = jnp.asarray(RNG.standard_normal((bm, k)).astype(np.float32) * 0.1)
+    w = jnp.asarray(RNG.standard_normal((k, n)).astype(np.float32) * 0.02)
+    q4, s = quant.quantize_int4(w)
+    gpb, k_blocks = bk // quant.INT4_GROUP, k // bk
+    kern = (quant._q4_matmul_kernel_v3 if version == "v3"
+            else quant._q4_matmul_kernel_v2)
+    out = pl.pallas_call(
+        functools.partial(kern, k_blocks=k_blocks, gpb=gpb),
+        grid=(1, n // bn, k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bm, bk), lambda i, j, kb: (0, i, kb)),
+            pl.BlockSpec((1, bk // 2, bn), lambda i, j, kb: (0, kb, j)),
+            pl.BlockSpec((1, gpb, bn), lambda i, j, kb: (0, kb, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bm, bn), lambda i, j, kb: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((1, bm, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=True,
+    )(x[None], q4[None], s.astype(jnp.float32)[None])
+    ref = x @ quant.dequantize_int4(q4, s, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_int4_small_k_single_group():
     from cambrian_tpu.ops.quant import dequantize_int4, quantize_int4
 

@@ -98,11 +98,29 @@ class GenerationEngine:
         else:
             self.params = params
 
-        self._prefill = jax.jit(self._prefill_impl)
-        self._step = jax.jit(self._step_impl)
-        self._encode = jax.jit(self._encode_impl)
+        self._prefill = self._jit(self._prefill_impl)
+        self._step = self._jit(self._step_impl)
+        self._encode = self._jit(self._encode_impl)
         self._on_device_fns = {}
         self._chunk_fns = {}
+
+    def _jit(self, fn, **jit_kwargs):
+        """jit that traces (and runs) under ``jax.set_mesh(self.mesh)``.
+
+        The mesh context, not just sharded inputs, must be live during
+        tracing: flash_attention consults ``get_abstract_mesh()`` to wrap its
+        pallas_call in a shard_map (GSPMD cannot auto-partition Mosaic
+        kernels), and the quant matmuls use it to pick their partitionable
+        XLA form."""
+        jfn = jax.jit(fn, **jit_kwargs)
+        if self.mesh is None:
+            return jfn
+
+        def call(*args, **kwargs):
+            with jax.set_mesh(self.mesh):
+                return jfn(*args, **kwargs)
+
+        return call
 
     def init_cache(self, batch: int, k_len: int):
         cache = init_kv_cache(self.model.cfg, batch, k_len, self.cache_dtype)
@@ -276,7 +294,7 @@ class GenerationEngine:
             if key not in self._on_device_fns:
                 import functools
 
-                self._on_device_fns[key] = jax.jit(functools.partial(
+                self._on_device_fns[key] = self._jit(functools.partial(
                     self._generate_on_device_impl,
                     max_new_tokens=cfg.max_new_tokens,
                     temperature=cfg.temperature, top_p=cfg.top_p,
@@ -356,7 +374,7 @@ class GenerationEngine:
             key = (chunk, cfg.temperature, cfg.top_p, cfg.eos_token_id,
                    cfg.pad_token_id)
             if key not in self._chunk_fns:
-                self._chunk_fns[key] = jax.jit(functools.partial(
+                self._chunk_fns[key] = self._jit(functools.partial(
                     self._decode_chunk_impl, chunk=chunk,
                     temperature=cfg.temperature, top_p=cfg.top_p,
                     eos_token_id=cfg.eos_token_id,

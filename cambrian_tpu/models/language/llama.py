@@ -231,6 +231,10 @@ class LlamaAttention(nn.Module):
             out = flash_attention(
                 q, k, v, key_valid=mask.key_valid, causal=mask.causal,
                 sliding_window=c.sliding_window, q_offset=mask.q_offset,
+                # prefill (cache present) is inference-only: on a serve mesh
+                # whose axes the bs-1 batch can't consume, keep the fused
+                # kernel and let the unconsumed axes replicate
+                allow_replicated=cache is not None,
             )
         else:
             # decode steps: q is tiny; padding it to an MXU tile wastes more

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P, get_abstract_mesh
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -212,7 +213,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, do_ref,
 
 
 def _flash_bwd_impl(q, k, v, key_valid, o, do, scale, causal, sliding_window,
-                    q_offset, block_q):
+                    q_offset, block_q, interpret=False):
     bh, s_q, d = q.shape
     s_k = k.shape[1]
     d_pad = _round_up(d, 128)
@@ -269,6 +270,7 @@ def _flash_bwd_impl(q, k, v, key_valid, o, do, scale, causal, sliding_window,
             bytes_accessed=5 * qp.size * qp.dtype.itemsize,
             transcendentals=bh * sq_pad * sk_pad,
         ),
+        interpret=interpret,
     )(qp, kp, vp, validp, op, dop)
     return dq[:, :s_q, :d], dk[:, :s_k, :d], dv[:, :s_k, :d]
 
@@ -294,27 +296,78 @@ def _xla_reference(q, k, v, key_valid, scale, causal, sliding_window, q_offset):
     return jnp.einsum("bqk,bkd->bqd", probs.astype(q.dtype), v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, key_valid, scale, causal, sliding_window, q_offset, block_q):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, key_valid, scale, causal, sliding_window, q_offset,
+           block_q, interpret=False):
     return _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
-                           q_offset, block_q)
+                           q_offset, block_q, interpret)
 
 
 def _flash_fwd(q, k, v, key_valid, scale, causal, sliding_window, q_offset,
-               block_q):
+               block_q, interpret):
     out = _flash_fwd_impl(q, k, v, key_valid, scale, causal, sliding_window,
-                          q_offset, block_q)
+                          q_offset, block_q, interpret)
     return out, (q, k, v, key_valid, out)
 
 
-def _flash_bwd(scale, causal, sliding_window, q_offset, block_q, res, g):
+def _flash_bwd(scale, causal, sliding_window, q_offset, block_q, interpret,
+               res, g):
     q, k, v, key_valid, out = res
     dq, dk, dv = _flash_bwd_impl(q, k, v, key_valid, out, g, scale, causal,
-                                 sliding_window, q_offset, block_q)
+                                 sliding_window, q_offset, block_q, interpret)
     return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _attend_bqhd(q, k, v, key_valid, *, scale, causal, sliding_window,
+                 q_offset, block_q, use_pallas, interpret=False):
+    """[B, S, H, D] q/k/v + [B, Sk] key validity -> [B, Sq, H, D].
+
+    Flattens (batch, head) into kernel rows; shapes are taken from the
+    arguments so the same body serves both the global call and the per-shard
+    body under ``shard_map`` (where B and H are the local block sizes)."""
+    b, s_q, h, d = q.shape
+    s_k = k.shape[1]
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
+    validf = jnp.repeat(key_valid, h, axis=0)
+    if use_pallas:
+        out = _flash(qf, kf, vf, validf, scale, causal, sliding_window,
+                     q_offset, block_q, interpret)
+    else:
+        out = _xla_reference(qf, kf, vf, validf, scale, causal,
+                             sliding_window, q_offset)
+    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+
+
+def _mesh_attention_specs(b, h, mesh):
+    """PartitionSpecs to run attention as independent per-device shards over
+    the active mesh: batch over the non-'model' axes (mesh order), heads over
+    'model'. Returns ``(qkv_spec, key_valid_spec)``, or None when any axis of
+    size > 1 cannot be consumed (B or H not divisible): an unused axis would
+    replicate the kernel over it, and under differentiation ``shard_map``'s
+    transpose psums replicated cotangents — overcounting by the axis size.
+    Callers fall back to the (auto-partitionable) XLA path instead."""
+    batch_axes, head_axes, prod = [], [], 1
+    for name, size in mesh.shape.items():
+        if size == 1:
+            continue
+        if name == "model":
+            if h % size != 0:
+                return None
+            head_axes.append(name)
+        elif b % (prod * size) == 0:
+            batch_axes.append(name)
+            prod *= size
+        else:
+            return None
+    return (
+        P(tuple(batch_axes) or None, None, tuple(head_axes) or None, None),
+        P(tuple(batch_axes) or None, None),
+    )
 
 
 def flash_attention(
@@ -327,9 +380,21 @@ def flash_attention(
     q_offset: int = 0,
     scale: Optional[float] = None,
     block_q: Optional[int] = None,
+    allow_replicated: bool = False,
 ) -> jnp.ndarray:
     """Fused masked attention in BQHD layout; falls back to the XLA path off
-    TPU (tests run on the CPU mesh; pallas-interpret is too slow there)."""
+    TPU (tests run on the CPU mesh; pallas-interpret is too slow there).
+
+    Under a multi-device mesh (``jax.set_mesh``) the pallas_call cannot be
+    auto-partitioned by GSPMD, so the kernel runs per-shard inside a
+    ``shard_map`` — batch over the data/fsdp axes, heads over 'model', no
+    communication. When the shapes can't consume every mesh axis the call
+    routes to the XLA path, which GSPMD partitions freely; inference-only
+    call sites may instead pass ``allow_replicated=True`` to keep the kernel
+    and replicate compute over the unconsumed axes (forward-correct; under
+    differentiation replicated cotangents would be overcounted, hence the
+    opt-in).
+    """
     b, s_q, h, d = q.shape
     s_k = k.shape[1]
     if scale is None:
@@ -347,16 +412,43 @@ def flash_attention(
                    if (not causal and s_q <= 768 and s_k <= 1024) else 256)
     block_q = min(block_q, _round_up(s_q, 128))
 
-    qf = q.transpose(0, 2, 1, 3).reshape(b * h, s_q, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-    vf = v.transpose(0, 2, 1, 3).reshape(b * h, s_k, d)
-    validf = jnp.repeat(key_valid, h, axis=0)
+    attend = functools.partial(
+        _attend_bqhd, scale=scale, causal=causal,
+        sliding_window=sliding_window, q_offset=q_offset, block_q=block_q)
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu:
-        out = _flash(qf, kf, vf, validf, scale, causal, sliding_window,
-                     q_offset, block_q)
-    else:
-        out = _xla_reference(qf, kf, vf, validf, scale, causal, sliding_window,
-                             q_offset)
-    return out.reshape(b, h, s_q, d).transpose(0, 2, 1, 3)
+    if not on_tpu:
+        return attend(q, k, v, key_valid, use_pallas=False)
+    mesh = get_abstract_mesh()
+    if mesh.empty or mesh.size <= 1:
+        return attend(q, k, v, key_valid, use_pallas=True)
+    specs = _mesh_attention_specs(b, h, mesh)
+    if specs is None:
+        if not allow_replicated:
+            return attend(q, k, v, key_valid, use_pallas=False)
+        # consume what divides; leave the rest replicated (inference-only)
+        batch_axes, head_axes, prod = [], [], 1
+        for name, size in mesh.shape.items():
+            if size == 1:
+                continue
+            if name == "model" and h % size == 0:
+                head_axes.append(name)
+            elif name != "model" and b % (prod * size) == 0:
+                batch_axes.append(name)
+                prod *= size
+        specs = (
+            P(tuple(batch_axes) or None, None, tuple(head_axes) or None,
+              None),
+            P(tuple(batch_axes) or None, None),
+        )
+    qkv_spec, valid_spec = specs
+    sharded = jax.shard_map(
+        functools.partial(attend, use_pallas=True),
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, valid_spec),
+        out_specs=qkv_spec,
+        # the custom_vjp body has no vma rule; replication safety is enforced
+        # structurally above (_mesh_attention_specs / allow_replicated)
+        check_vma=False,
+    )
+    return sharded(q, k, v, key_valid)

@@ -27,6 +27,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _under_multidevice_mesh() -> bool:
+    """True when tracing under a >1-device mesh (jax.set_mesh): Mosaic
+    kernels cannot be auto-partitioned by GSPMD there, and unlike attention
+    (batch/head-parallel) a weight-stationary matmul kernel would need
+    sharding-aware K/N blocking — the XLA dequant matmul partitions freely
+    instead (the convert fuses into the dot's operand read on TPU)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    return (not mesh.empty) and mesh.size > 1
+
+
 def quantize_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[K, N] float -> (int8 values [K, N], fp32 scales [N]) symmetric
     per-output-channel."""
@@ -76,7 +86,7 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray,
     """
     m, k = x.shape
     _, n = w_q.shape
-    if jax.devices()[0].platform != "tpu":
+    if jax.devices()[0].platform != "tpu" or _under_multidevice_mesh():
         return (x @ dequantize_int8(w_q, scale, x.dtype)).astype(x.dtype)
 
     m_pad = _round_up(m, block_m)
@@ -300,7 +310,8 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
     # the group=K fallback of int4_group) takes the XLA dequant matmul.
     aligned = (block_k % 256 == 0) and (block_k % group == 0) \
         and (block_k // group >= 1)
-    if jax.devices()[0].platform != "tpu" or not aligned:
+    if (jax.devices()[0].platform != "tpu" or not aligned
+            or _under_multidevice_mesh()):
         return (x @ dequantize_int4(w_q4, scale, x.dtype)).astype(x.dtype)
     if os.environ.get("CAMBRIAN_INT4_V1") == "1":
         return _int4_matmul_v1(x, w_q4, scale, block_m, block_n, group,

@@ -399,6 +399,12 @@ CONFIGS = {
         _cfg_8b(quantize="int8"), (1, 1, 1), 1, name="8b_serve_int8"),
     "34b_serve": lambda: _compile_generate(
         _cfg_34b(), (1, 2, 4), 1, name="34b_serve"),
+    # full-34B int4 single-host serving (PERF_NOTES r4: 18.3 GiB of int4
+    # weights can't fit one chip; this is the real deployment geometry).
+    # Under a >1-device mesh the quant matmuls take the XLA dequant path
+    # (ops/quant.py::_under_multidevice_mesh) — GSPMD shards it freely.
+    "34b_serve_int4": lambda: _compile_generate(
+        _cfg_34b(quantize="int4"), (1, 2, 4), 1, name="34b_serve_int4"),
 }
 
 

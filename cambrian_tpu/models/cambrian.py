@@ -102,15 +102,24 @@ class CambrianLM(nn.Module):
                                      dtype=self.dtype, name="embed_tokens")
         if c.mm_projector_type == "sva":
             vh = c.vision_hidden_size
+            # Connector modules are rematted like the decoder layers: their
+            # fp32 LN / attention temps are otherwise saved across the WHOLE
+            # decoder forward for the backward pass (stage-1 trains exactly
+            # these modules), which showed up as the largest fp32 live
+            # buffers in the 34B (1,2,4) TPU buffer assignment.
+            ProjCls = (nn.remat(_AuxProjector, prevent_cse=False)
+                       if c.remat else _AuxProjector)
+            ConnCls = (nn.remat(VisionTokenSampler, prevent_cse=False)
+                       if c.remat else VisionTokenSampler)
             # per-tower 2-layer MLP + LN into the shared vision space
             # (cambrian_arch.py:56)
             self.mm_projector_aux = [
-                _AuxProjector(vh, dtype=self.dtype, name=f"mm_projector_aux_{i}")
+                ProjCls(vh, dtype=self.dtype, name=f"mm_projector_aux_{i}")
                 for i in range(len(self.tower_hidden_sizes))
             ]
             # per-query-group connector samplers (cambrian_arch.py:58-60)
             self.vision_samplers = [
-                VisionTokenSampler(
+                ConnCls(
                     q_dim=vh,
                     kv_size_list=c.cross_att_window_sizes(qn),
                     vision_hidden_size=vh,
@@ -299,6 +308,10 @@ class CambrianLM(nn.Module):
         for i, layer in enumerate(self.layers):
             layer_cache = None if cache is None else cache[i]
             hidden, lc = layer(hidden, mask, position_ids, layer_cache, cache_index)
+            if cache is None and c.seq_shard_activations:
+                # training: shard the remat-saved residual over 'model' too
+                # (see _scan_run; no-op without a mesh / divisible seq)
+                hidden = constrain(hidden, ("data", "fsdp"), "model", None)
             if cache is not None:
                 new_cache.append(lc)
             if i in inject_layers:
@@ -370,10 +383,19 @@ class CambrianLM(nn.Module):
             def body(h, lp):
                 out, _ = body_mod.apply({"params": lp}, h, mask,
                                         position_ids, None, None)
+                # Sequence-shard the carry over the model axis: the rematted
+                # body's saved residual is its input carry, so this pins the
+                # per-layer stored activations to 1/model_parallel of the
+                # replicated size (standard sequence parallelism for stored
+                # activations; the layer's column-parallel GEMMs re-gather).
+                if c.seq_shard_activations:
+                    out = constrain(out, ("data", "fsdp"), "model", None)
                 return out, None
 
             if c.remat:
                 body = jax.checkpoint(body, prevent_cse=False)
+            if c.seq_shard_activations:
+                hidden = constrain(hidden, ("data", "fsdp"), "model", None)
             hidden, _ = jax.lax.scan(body, hidden, stacked_params)
             return hidden, None
 

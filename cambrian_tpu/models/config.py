@@ -74,6 +74,14 @@ class CambrianConfig:
     param_dtype: str = "float32"       # master parameter dtype
     remat: bool = True                 # gradient checkpointing via jax.checkpoint
     scan_layers: bool = False          # lax.scan over decoder layers (uniform stacks)
+    seq_shard_activations: bool = True  # training only: pin the residual
+                                       # stream between decoder layers to
+                                       # P((data, fsdp), model, None) so the
+                                       # remat-saved carries shard over the
+                                       # model axis too (sequence parallelism
+                                       # for stored activations; 4x smaller at
+                                       # 34B on (1,2,4)). No-op when no mesh /
+                                       # no model axis / seq not divisible.
     quantize: Optional[str] = None     # "int8": weight-only quantized decoder
                                        # GEMMs (ops/quant.py, load_8bit path)
     lm_head_dtype: Optional[str] = None  # "bf16": store the vocab head bf16

@@ -44,11 +44,25 @@ def make_train_step(
     model: CambrianLM,
     towers: Optional[Sequence] = None,
     train_towers: bool = False,
+    freeze: Optional[TrainConfig] = None,
 ) -> Callable:
     """Returns ``step(state, tower_params, batch) -> (state, metrics)``.
 
     ``batch``: input_ids, labels, attention_mask, position_ids,
     images (list, per tower, NCHW), aux_masks (list, per tower).
+
+    ``freeze``: when given, params the freeze policy labels 'frozen'
+    (optimizer.label_params) are wrapped in ``stop_gradient`` inside the
+    loss, so the backward never computes their weight gradients at all.
+    Without this, stage-1 (frozen decoder) differentiates every decoder
+    matmul and — under scan_layers — materializes full stacked dW
+    cotangent buffers per segment (the top HLO temps in the 34B (1,2,4)
+    TPU buffer assignment: 3x490 MB + 2x171 MB of zero-init grad stacks).
+    It also matches the reference's clipping semantics: HF Trainer clips
+    the global norm of the *optimized* params only
+    (cambrian_trainer.py:242-381 builds groups from trainable params),
+    whereas clipping over real-but-discarded frozen grads rescales the
+    trainable gradient step.
     """
 
     def encode_towers(tower_params, images, differentiable):
@@ -68,6 +82,13 @@ def make_train_step(
         combined = isinstance(state.params, dict) and "vision_towers" in state.params
 
         def loss_fn(p):
+            if freeze is not None:
+                from .optimizer import label_params
+
+                labels = label_params(p, freeze)
+                p = jax.tree.map(
+                    lambda x, l: jax.lax.stop_gradient(x) if l == "frozen" else x,
+                    p, labels)
             if combined:
                 model_params, tps = p["model"], p["vision_towers"]
             else:

@@ -311,7 +311,8 @@ class CambrianTrainer:
                                            args.lora_alpha, args.lora_r)
         else:
             step_fn = make_train_step(self.model, self.towers,
-                                      train_towers=args.unfreeze_mm_vision_tower)
+                                      train_towers=args.unfreeze_mm_vision_tower,
+                                      freeze=args)
         state_sh = state_shardings(state, self.mesh)
         tower_sh = [infer_param_shardings(tp, self.mesh) for tp in tower_arg]
         batch_sh = batch_shardings(self.mesh, num_towers=len(self.towers))

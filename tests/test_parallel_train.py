@@ -132,11 +132,14 @@ def test_freeze_policy_stage1(world):
     )
 
     state = init_train_state(params, tconf)
-    step_fn = make_train_step(model, towers)
+    # freeze=tconf is how the trainer wires it: frozen subtrees run under
+    # stop_gradient, so no decoder dW is ever computed (34B stage-1 OOM fix)
+    # and the clip norm covers trainable grads only (reference semantics).
+    step_fn = make_train_step(model, towers, freeze=tconf)
     with jax.set_mesh(mesh):
         jstep = jax.jit(step_fn)
         # two steps: warmup LR is 0 at step 0 by construction
-        state2, _ = jstep(state, tower_params, batch)
+        state2, m1 = jstep(state, tower_params, batch)
         state2, _ = jstep(state2, tower_params, batch)
     # frozen decoder weights unchanged; connector weights moved
     before = params["params"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
@@ -145,3 +148,11 @@ def test_freeze_policy_stage1(world):
     vq_before = params["params"]["vision_query"]
     vq_after = state2.params["params"]["vision_query"]
     assert np.abs(np.asarray(vq_after - vq_before)).max() > 0
+
+    # grad_norm under stop_gradient counts trainable grads only: it must be
+    # strictly below the all-params norm (real-but-discarded frozen grads)
+    step_all = make_train_step(model, towers)
+    with jax.set_mesh(mesh):
+        _, m_all = jax.jit(step_all)(state, tower_params, batch)
+    assert float(m1["grad_norm"]) < float(m_all["grad_norm"]), (
+        float(m1["grad_norm"]), float(m_all["grad_norm"]))

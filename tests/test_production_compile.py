@@ -225,7 +225,7 @@ def _compile_train(cfg, mesh_shape, per_device_bs, stage1, name,
                               params=state_shapes.params,
                               opt_state=state_shapes.opt_state, tx=tx)
 
-    step_fn = make_train_step(model, towers)
+    step_fn = make_train_step(model, towers, freeze=tconf)
     state_sh = state_shardings(state_shapes, mesh)
     tower_sh = [infer_param_shardings(tp, mesh) for tp in tower_shapes]
     batch_sh = batch_shardings(mesh, num_towers=len(towers))

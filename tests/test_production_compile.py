@@ -470,6 +470,28 @@ def test_8b_stage2_records_budget(capfd):
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(CONFIGS)
+    bad = []
     for n in names:
         print(f"== {n} ==", flush=True)
-        CONFIGS[n]()
+        payload = CONFIGS[n]()
+        if os.environ.get("PRODUCTION_COMPILE_TOPOLOGY"):
+            # real-TPU-compiler buffer assignment: peak (args + temps +
+            # non-aliased outputs) is the authoritative fit answer the CPU
+            # backend can't give (module docstring).
+            peaks = [d.get("peak_bytes")
+                     for d in (payload, payload.get("prefill", {}),
+                               payload.get("decode", {}))
+                     if d.get("peak_bytes") is not None]
+            peak = max(peaks) if peaks else None
+            if peak is None:
+                print(f"{n}: no peak_bytes from topology compile", flush=True)
+                bad.append(n)
+            else:
+                fit = peak < V5E_HBM
+                print(f"{n}: TPU-compiler peak {peak / 2**30:.2f} GiB "
+                      f"per device -> {'FITS' if fit else 'OVER'} v5e 16 GiB",
+                      flush=True)
+                if not fit:
+                    bad.append(n)
+    if bad:
+        sys.exit(f"configs over budget or unmeasured: {bad}")

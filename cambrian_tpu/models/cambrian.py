@@ -485,6 +485,24 @@ class CambrianLM(nn.Module):
         aux_masks_list: Optional[Sequence[jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         """Training / no-cache forward. Returns fp32 logits [B, S, V]."""
+        return self._logits(self.hidden_states(
+            input_ids, attention_mask, position_ids, aux_features_list,
+            aux_masks_list))
+
+    def hidden_states(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: jnp.ndarray,
+        position_ids: jnp.ndarray,
+        aux_features_list: Optional[Sequence[jnp.ndarray]] = None,
+        aux_masks_list: Optional[Sequence[jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """Trunk of the training forward — everything up to (excluding) the
+        lm_head. Exposed so the train step can compute the loss over sequence
+        chunks (``chunked_cross_entropy``) without ever materializing the
+        fp32 [B, S, vocab] logits: the r4 TPU buffer-assignment run measured
+        TWO 7.83 GB such temps per device at the 8B stage-2 geometry
+        (docs/PERF_NOTES.md, "TPU-compiler memory")."""
         vision = None
         if aux_features_list is not None:
             vision = self.prepare_vision(aux_features_list, aux_masks_list)
@@ -497,6 +515,11 @@ class CambrianLM(nn.Module):
         hidden, _ = self._decoder(hidden, mask, position_ids, None, None,
                                   vision_kv, vision_masks, global_ctx,
                                   inject=vision is not None, im_start=im_start)
+        return hidden
+
+    def logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """Public lm_head application (fp32 logits incl. scale/softcap);
+        ``apply(..., method=CambrianLM.logits)`` target for chunked CE."""
         return self._logits(hidden)
 
     def prefill(
@@ -588,3 +611,48 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     token_loss = jnp.where(valid, -token_ll, 0.0)
     return jnp.sum(token_loss) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def chunked_cross_entropy(hidden: jnp.ndarray, labels: jnp.ndarray,
+                          logits_fn, chunk: int) -> jnp.ndarray:
+    """Shifted next-token CE computed over sequence chunks of ``chunk``
+    tokens, applying ``logits_fn`` (the lm_head) per chunk.
+
+    Same math as ``cross_entropy_loss(logits_fn(hidden), labels)`` —
+    log_softmax is row-wise and every token's loss term is independent, so
+    chunking changes only the fp32 summation order — but the fp32
+    [B, S, vocab] logits never exist in HBM: each ``lax.scan`` iteration
+    materializes [B, chunk, vocab] and ``jax.checkpoint`` re-derives it in
+    the backward pass. At the 8B stage-2 production geometry (bs 8/device,
+    S 2048, V 128256) that replaces two 7.83 GB fp32 temps per device with
+    two ~0.5 GB ones at chunk=128 (r4 TPU buffer-assignment measurement,
+    docs/PERF_NOTES.md). The reference pays the full fp32 logits tax
+    (cambrian_llama.py:409-422) — on 32 GB v4 chips it can afford to."""
+    b, s, h = hidden.shape
+    # the label for position i is labels[:, i + 1]; the final position (and
+    # any pad tail) is IGNORE_INDEX, mirroring the shift in
+    # cross_entropy_loss
+    nxt = jnp.concatenate(
+        [labels[:, 1:], jnp.full((b, 1), IGNORE_INDEX, labels.dtype)], axis=1)
+    n = -(-s // chunk)
+    pad = n * chunk - s
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        nxt = jnp.pad(nxt, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
+    hid_c = hidden.reshape(b, n, chunk, h).transpose(1, 0, 2, 3)
+    lab_c = nxt.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        hc, lc = xs
+        logp = jax.nn.log_softmax(logits_fn(hc).astype(jnp.float32), axis=-1)
+        valid = lc != IGNORE_INDEX
+        safe = jnp.where(valid, lc, 0)
+        ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        tot, cnt = carry
+        return (tot + jnp.sum(jnp.where(valid, -ll, 0.0)),
+                cnt + jnp.sum(valid.astype(jnp.float32))), None
+
+    (tot, cnt), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.float32(0.0)), (hid_c, lab_c))
+    return tot / jnp.maximum(cnt, 1.0)

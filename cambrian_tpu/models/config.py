@@ -73,6 +73,12 @@ class CambrianConfig:
     dtype: str = "bfloat16"            # activation/computation dtype
     param_dtype: str = "float32"       # master parameter dtype
     remat: bool = True                 # gradient checkpointing via jax.checkpoint
+    loss_chunk: int = 128              # training CE in sequence chunks of this
+                                       # many tokens (0 = whole-sequence fp32
+                                       # logits). Identical math, but the fp32
+                                       # [B, S, vocab] logits never exist —
+                                       # 15.7 GB of the 8B stage-2 per-device
+                                       # temps (r4 TPU compile, PERF_NOTES).
     scan_layers: bool = False          # lax.scan over decoder layers (uniform stacks)
     seq_shard_activations: bool = True  # training only: pin the residual
                                        # stream between decoder layers to

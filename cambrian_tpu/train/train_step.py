@@ -16,7 +16,11 @@ import jax.numpy as jnp
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.cambrian import CambrianLM, cross_entropy_loss
+from ..models.cambrian import (
+    CambrianLM,
+    chunked_cross_entropy,
+    cross_entropy_loss,
+)
 from ..parallel.sharding import batch_sharding, infer_param_shardings, replicated
 from .optimizer import TrainConfig, build_optimizer
 
@@ -97,6 +101,24 @@ def make_train_step(
             if towers is not None and batch.get("images") is not None:
                 aux_features = encode_towers(tps, batch["images"],
                                              differentiable=combined)
+            chunk = getattr(model.cfg, "loss_chunk", 0)
+            if chunk:
+                # never materialize fp32 [B, S, V] logits (chunked CE —
+                # models/cambrian.py::chunked_cross_entropy)
+                hidden = model.apply(
+                    model_params,
+                    batch["input_ids"],
+                    batch["attention_mask"],
+                    batch["position_ids"],
+                    aux_features,
+                    batch.get("aux_masks"),
+                    method=CambrianLM.hidden_states,
+                )
+                return chunked_cross_entropy(
+                    hidden, batch["labels"],
+                    lambda hc: model.apply(model_params, hc,
+                                           method=CambrianLM.logits),
+                    chunk)
             logits = model.apply(
                 model_params,
                 batch["input_ids"],

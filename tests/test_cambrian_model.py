@@ -12,6 +12,7 @@ from cambrian_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
 from cambrian_tpu.data.packing import prepare_multimodal_data
 from cambrian_tpu.models.cambrian import (
     CambrianLM,
+    chunked_cross_entropy,
     cross_entropy_loss,
     unwindow_mask,
     window_features,
@@ -118,6 +119,37 @@ def test_loss_and_grads(setup):
     assert float(jnp.abs(gp["vision_query"]).max()) > 0
     assert float(jnp.abs(jax.tree.leaves(gp["vision_sampler_layers_0"])[0]).max()) > 0
     assert float(jnp.abs(gp["image_newline"]).max()) > 0
+
+
+def test_chunked_ce_matches_full_loss_and_grads(setup):
+    """chunked_cross_entropy over hidden_states (the train step's default
+    memory-bounded CE — the fp32 [B, S, V] logits never materialize) must
+    reproduce the whole-sequence loss AND its gradients, including with a
+    chunk size that does not divide the padded sequence length."""
+    cfg, model, params, batch = setup
+
+    def full_loss(p):
+        logits = model.apply(p, batch["input_ids"], batch["attention_mask"],
+                             batch["position_ids"], batch["aux_features"],
+                             batch["aux_masks"])
+        return cross_entropy_loss(logits, batch["labels"])
+
+    def chunk_loss(p, chunk):
+        hidden = model.apply(p, batch["input_ids"], batch["attention_mask"],
+                             batch["position_ids"], batch["aux_features"],
+                             batch["aux_masks"],
+                             method=CambrianLM.hidden_states)
+        return chunked_cross_entropy(
+            hidden, batch["labels"],
+            lambda hc: model.apply(p, hc, method=CambrianLM.logits), chunk)
+
+    l_full, g_full = jax.value_and_grad(full_loss)(params)
+    for chunk in (16, 24):  # 24 does not divide the packed length
+        l_c, g_c = jax.value_and_grad(chunk_loss)(params, chunk)
+        assert abs(float(l_full) - float(l_c)) < 1e-5, (chunk, l_full, l_c)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g_full, g_c)
+        assert max(jax.tree.leaves(diffs)) < 1e-4, chunk
 
 
 def test_prefill_decode_matches_full_forward(setup):

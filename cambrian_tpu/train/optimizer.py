@@ -29,6 +29,7 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    adam_mu_dtype: Optional[str] = None  # "bfloat16": halve first-moment HBM
     max_grad_norm: float = 1.0
     warmup_ratio: float = 0.06
     lr_scheduler_type: str = "cosine"
@@ -140,6 +141,12 @@ def build_optimizer(params, config: TrainConfig):
             b2=config.adam_b2,
             eps=config.adam_eps,
             weight_decay=config.weight_decay,
+            # bf16 first-moment storage (T5X-style): m is a smoothed running
+            # mean of grads, so bf16 rounding is benign — unlike v, whose
+            # rsqrt amplifies low-bit error, so v stays fp32. Saves 2 bytes/
+            # trainable param: 2 GB/device for 8B full-finetune on fsdp=8
+            # (the r4 TPU memory work, docs/PERF_NOTES.md).
+            mu_dtype=config.adam_mu_dtype,
             # HF-style decay exclusion: no decay on vectors/scalars
             mask=lambda p: jax.tree.map(lambda x: x.ndim >= 2, p),
         )

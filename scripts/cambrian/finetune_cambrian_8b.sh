@@ -2,6 +2,12 @@
 # Stage-2 SFT, Cambrian-1-8B: unfreeze the decoder, lr 4e-5
 # (reference README.md:240-244; LR scaling rule :249 — halve lr when global
 # batch halves).
+#
+# v5e-8 memory geometry (r4 TPU buffer assignment, docs/PERF_NOTES.md):
+# bs 8/device does NOT fit a full finetune on 16 GB chips — per-device batch
+# drops to 2 with 4x grad accumulation (same global 64 per optimizer step)
+# and the first Adam moment is stored bf16. On v4/v5p (32/95 GB HBM) or
+# larger v5e slices, raise per_device_train_batch_size back up.
 
 export CKPT_NAME="cambrian-8b-finetune"
 
@@ -27,7 +33,9 @@ python -m cambrian_tpu.train.train \
     --bf16 True \
     --output_dir "./checkpoints/${CKPT_NAME}" \
     --num_train_epochs 1 \
-    --per_device_train_batch_size 8 \
+    --per_device_train_batch_size 2 \
+    --gradient_accumulation_steps 4 \
+    --adam_mu_dtype bfloat16 \
     --learning_rate 4e-5 \
     --mm_vision_sampler_lr 1e-5 \
     --warmup_ratio 0.03 \

@@ -179,7 +179,7 @@ def _tree_bytes(tree):
 # ---------------------------------------------------------------------------
 
 def _compile_train(cfg, mesh_shape, per_device_bs, stage1, name,
-                   donate=True):
+                   donate=True, mu_dtype=None):
     from cambrian_tpu.parallel.mesh import MeshConfig, create_mesh
     from cambrian_tpu.parallel.sharding import infer_param_shardings
     from cambrian_tpu.train.optimizer import TrainConfig
@@ -198,7 +198,8 @@ def _compile_train(cfg, mesh_shape, per_device_bs, stage1, name,
         cfg, batch_size)
 
     tconf = TrainConfig(learning_rate=1e-3, mm_vision_sampler_lr=1e-4,
-                        total_steps=1000, tune_mm_mlp_adapter=stage1)
+                        total_steps=1000, tune_mm_mlp_adapter=stage1,
+                        adam_mu_dtype=mu_dtype)
     if stage1:
         # the trainer stores frozen params bf16 (optimizer.cast_frozen_params;
         # norm scales/biases exempt — they are applied in fp32)
@@ -383,6 +384,11 @@ CONFIGS = {
         _cfg_8b(), (1, 8, 1), 8, stage1=True, name="8b_stage1"),
     "8b_stage2": lambda: _compile_train(
         _cfg_8b(), (1, 8, 1), 8, stage1=False, name="8b_stage2"),
+    # the launch script's v5e-8 geometry after the r4 TPU memory finding:
+    # bs 2/device (+4x grad accumulation outside this compile), bf16 Adam mu
+    "8b_stage2_bs2": lambda: _compile_train(
+        _cfg_8b(), (1, 8, 1), 2, stage1=False, name="8b_stage2_bs2",
+        mu_dtype="bfloat16"),
     # 13B (pretrain/finetune_cambrian_13b.sh): BASELINE config #3 — same
     # (1,8,1) mesh as 8B, Vicuna geometry (image_position 35, stride 4)
     "13b_stage1": lambda: _compile_train(

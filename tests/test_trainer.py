@@ -97,6 +97,27 @@ def test_train_entry_end_to_end(workdir):
     assert cfg.image_token_len == 16
 
 
+def test_adam_mu_dtype_bf16_storage():
+    """adam_mu_dtype='bfloat16' stores the first moment bf16 (second moment
+    and updates stay fp32) — the stage-2 launch scripts' per-device HBM lever
+    (docs/PERF_NOTES.md r4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cambrian_tpu.train.optimizer import TrainConfig, build_optimizer
+
+    params = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    tx, _ = build_optimizer(
+        params, TrainConfig(adam_mu_dtype="bfloat16", total_steps=4))
+    state = tx.init(params)
+    dtypes = [l.dtype for l in jax.tree.leaves(state)
+              if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)]
+    assert jnp.bfloat16 in dtypes and jnp.float32 in dtypes
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert all(u.dtype == jnp.float32 for u in jax.tree.leaves(updates))
+
+
 def test_train_resume(workdir):
     d, ckpt, data_path, img_dir = workdir
     out = str(d / "out")  # same output dir as the previous test

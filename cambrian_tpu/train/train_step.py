@@ -44,6 +44,38 @@ def init_train_state(params, config: TrainConfig) -> TrainState:
                       opt_state=tx.init(params), tx=tx)
 
 
+def _supervised_loss(model: CambrianLM, model_params, batch, aux_features):
+    """Shifted CE over the batch, honoring cfg.loss_chunk: with chunking the
+    fp32 [B, S, V] logits never materialize (models/cambrian.py::
+    chunked_cross_entropy — the r4 TPU buffer-assignment fix); shared by the
+    full-finetune and LoRA steps so --lora_enable gets the same HBM budget."""
+    chunk = getattr(model.cfg, "loss_chunk", 0)
+    if chunk:
+        hidden = model.apply(
+            model_params,
+            batch["input_ids"],
+            batch["attention_mask"],
+            batch["position_ids"],
+            aux_features,
+            batch.get("aux_masks"),
+            method=CambrianLM.hidden_states,
+        )
+        return chunked_cross_entropy(
+            hidden, batch["labels"],
+            lambda hc: model.apply(model_params, hc,
+                                   method=CambrianLM.logits),
+            chunk)
+    logits = model.apply(
+        model_params,
+        batch["input_ids"],
+        batch["attention_mask"],
+        batch["position_ids"],
+        aux_features,
+        batch.get("aux_masks"),
+    )
+    return cross_entropy_loss(logits, batch["labels"])
+
+
 def make_train_step(
     model: CambrianLM,
     towers: Optional[Sequence] = None,
@@ -101,33 +133,7 @@ def make_train_step(
             if towers is not None and batch.get("images") is not None:
                 aux_features = encode_towers(tps, batch["images"],
                                              differentiable=combined)
-            chunk = getattr(model.cfg, "loss_chunk", 0)
-            if chunk:
-                # never materialize fp32 [B, S, V] logits (chunked CE —
-                # models/cambrian.py::chunked_cross_entropy)
-                hidden = model.apply(
-                    model_params,
-                    batch["input_ids"],
-                    batch["attention_mask"],
-                    batch["position_ids"],
-                    aux_features,
-                    batch.get("aux_masks"),
-                    method=CambrianLM.hidden_states,
-                )
-                return chunked_cross_entropy(
-                    hidden, batch["labels"],
-                    lambda hc: model.apply(model_params, hc,
-                                           method=CambrianLM.logits),
-                    chunk)
-            logits = model.apply(
-                model_params,
-                batch["input_ids"],
-                batch["attention_mask"],
-                batch["position_ids"],
-                aux_features,
-                batch.get("aux_masks"),
-            )
-            return cross_entropy_loss(logits, batch["labels"])
+            return _supervised_loss(model, model_params, batch, aux_features)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = state.apply_gradients(grads)
@@ -155,11 +161,7 @@ def make_lora_train_step(model, towers, base_params, alpha: float, rank: int):
                     jax.lax.stop_gradient(t.apply(tp, px))
                     for t, tp, px in zip(towers, tower_params, batch["images"])
                 ]
-            logits = model.apply(
-                merged, batch["input_ids"], batch["attention_mask"],
-                batch["position_ids"], aux_features, batch.get("aux_masks"),
-            )
-            return cross_entropy_loss(logits, batch["labels"])
+            return _supervised_loss(model, merged, batch, aux_features)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = state.apply_gradients(grads)

@@ -264,10 +264,18 @@ class CambrianTrainer:
 
     def train(self, resume_from_checkpoint: Optional[bool] = None):
         args = self.args
-        steps_per_epoch = max(1, len(self.train_dataset) // self.global_batch_size)
+        # total_steps counts OPTIMIZER steps: optax.MultiSteps advances the
+        # inner adamw (and its warmup-cosine count) once per k micro-batches,
+        # so the schedule horizon must equal real optimizer steps — and one
+        # epoch of data supports (dataset // global_batch) micro-batches =
+        # that // k optimizer steps. (Sizing either in micro-steps stretched
+        # warmup k× and ended the run at 1/k² of the cosine.)
+        accum = max(1, args.gradient_accumulation_steps)
+        steps_per_epoch = max(
+            1, len(self.train_dataset) // (self.global_batch_size * accum))
         total_steps = (args.max_steps if args.max_steps > 0
                        else int(steps_per_epoch * args.num_train_epochs))
-        args.total_steps = total_steps * args.gradient_accumulation_steps
+        args.total_steps = total_steps
 
         init_params = self.init_params
         tower_arg = self.tower_params
@@ -406,8 +414,15 @@ class CambrianTrainer:
                             )
                         dt = time.time() - t0
                         sps = (step + 1 - start_step) / max(dt, 1e-9)
+                        from .optimizer import _schedule
+
                         entry = {"step": step + 1, "loss": loss,
                                  "grad_norm": float(metrics["grad_norm"]),
+                                 # base-group LR at this OPTIMIZER step (the
+                                 # count MultiSteps advances once per k
+                                 # micro-batches)
+                                 "lr": float(_schedule(
+                                     args.learning_rate, args)(step)),
                                  "steps_per_sec": round(sps, 4),
                                  "samples_per_sec": round(sps * self.global_batch_size, 2)}
                         history.append(entry)

@@ -57,32 +57,65 @@ def build_logger(logger_name, logger_filename):
     return logger
 
 
-class StreamToLogger:
-    """Fake file-like stream that redirects writes to a logger
-    (reference cambrian/utils.py:68-98)."""
+import io
+
+
+class StreamToLogger(io.TextIOBase):
+    """Text stream that emits one log record per completed line.
+
+    Fills the role of the reference's stdout/stderr capture
+    (cambrian/utils.py:68): assign an instance to ``sys.stdout``/``sys.stderr``
+    and anything printed lands in the logging pipeline (and therefore in the
+    rotating server log files). Implemented as an ``io.TextIOBase`` so the
+    stdlib supplies the file protocol (writable/readable/iteration guards);
+    partial lines accumulate in a fragment list until a newline or ``flush``
+    seals them.
+    """
 
     def __init__(self, logger, log_level=logging.INFO):
-        self.terminal = sys.stdout
-        self.logger = logger
-        self.log_level = log_level
-        self.linebuf = ""
+        super().__init__()
+        self._logger = logger
+        self._level = log_level
+        self._fragments = []
 
-    def __getattr__(self, attr):
-        return getattr(self.terminal, attr)
+    @property
+    def encoding(self):
+        return "utf-8"
 
-    def write(self, buf):
-        temp_linebuf = self.linebuf + buf
-        self.linebuf = ""
-        for line in temp_linebuf.splitlines(True):
-            if line[-1] == "\n":
-                self.logger.log(self.log_level, line.rstrip())
-            else:
-                self.linebuf += line
+    def writable(self):
+        return True
+
+    def isatty(self):
+        return False
+
+    def fileno(self):
+        # some libraries probe fileno() to detect real consoles; report the
+        # original stdout's so low-level writes still have somewhere to go
+        return sys.__stdout__.fileno()
+
+    def _emit(self, text):
+        if text:  # blank lines carry no information as log records
+            self._logger.log(self._level, text)
+
+    def write(self, s):
+        if not isinstance(s, str):
+            s = str(s)
+        *complete, partial = s.split("\n")
+        if complete:
+            # first completed line closes out any buffered fragments
+            head = "".join(self._fragments) + complete[0]
+            self._fragments.clear()
+            self._emit(head.rstrip())
+            for line in complete[1:]:
+                self._emit(line.rstrip())
+        if partial:
+            self._fragments.append(partial)
+        return len(s)
 
     def flush(self):
-        if self.linebuf != "":
-            self.logger.log(self.log_level, self.linebuf.rstrip())
-        self.linebuf = ""
+        if self._fragments:
+            self._emit("".join(self._fragments).rstrip())
+            self._fragments.clear()
 
 
 def disable_torch_init():

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-5 TPU-topology AOT sweep (VERDICT r4 item 1): real TPU compiler
+# buffer assignment for the flagship train configs post-chunked-CE, plus the
+# 34B serve meshes. Each config runs in its own python process so a failure
+# (RESOURCE_EXHAUSTED prints + nonzero exit) doesn't stop the sweep.
+# Results append to /tmp/production_compile.jsonl; copy to
+# docs/production_compile_r5.jsonl when done.
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+export PRODUCTION_COMPILE_TOPOLOGY=${PRODUCTION_COMPILE_TOPOLOGY:-v5e:2x4}
+LOG=${LOG:-/tmp/topology_aot_r5.log}
+for cfg in "$@"; do
+  echo "=== $(date -u +%H:%M:%S) start $cfg ===" | tee -a "$LOG"
+  timeout 5400 python tests/test_production_compile.py "$cfg" \
+    >> "$LOG" 2>&1
+  echo "=== $(date -u +%H:%M:%S) done $cfg rc=$? ===" | tee -a "$LOG"
+done
+echo "=== sweep complete ===" | tee -a "$LOG"

@@ -77,6 +77,40 @@ def test_adapter_gradients_change_output(setup):
     assert np.abs(np.asarray(out_after - out_before)).max() > 0
 
 
+def test_lora_step_honors_loss_chunk(setup):
+    """Regression (ADVICE r4 medium): make_lora_train_step must route through
+    the same chunked-CE path as the full-finetune step when cfg.loss_chunk is
+    set — identical loss and adapter updates, no [B, S, V] logits."""
+    from cambrian_tpu.train.optimizer import TrainConfig
+    from cambrian_tpu.train.train_step import TrainState, init_train_state, \
+        make_lora_train_step
+
+    cfg, model, params, args = setup
+    ids, mask, pos = args
+    batch = {"input_ids": ids, "labels": ids, "attention_mask": mask,
+             "position_ids": pos, "images": None, "aux_masks": None}
+    adapters = init_lora_params(params, rank=4, rng=jax.random.PRNGKey(3))
+    # b starts at zero -> da == 0; nudge b so both branches produce real grads
+    adapters = jax.tree.map(lambda x: x + 0.01, adapters)
+
+    tconf = TrainConfig(learning_rate=1e-2, total_steps=4)
+    results = {}
+    for chunk in (0, 8, 6):  # 6 does not divide the 16-token sequence
+        m = CambrianLM(cfg.replace(loss_chunk=chunk), (32,))
+        step = make_lora_train_step(m, None, params, alpha=8, rank=4)
+        state = init_train_state(adapters, tconf)
+        state, metrics = step(state, None, batch)
+        results[chunk] = (float(metrics["loss"]), state.params)
+
+    l0, p0 = results[0]
+    for chunk in (8, 6):
+        lc, pc = results[chunk]
+        assert abs(l0 - lc) < 1e-5, (chunk, l0, lc)
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), p0, pc)
+        assert max(jax.tree.leaves(diffs)) < 1e-4, chunk
+
+
 def test_state_dict_roundtrip(setup):
     cfg, model, params, _ = setup
     adapters = init_lora_params(params, rank=2, rng=jax.random.PRNGKey(2))

@@ -118,6 +118,82 @@ def test_adam_mu_dtype_bf16_storage():
     assert all(u.dtype == jnp.float32 for u in jax.tree.leaves(updates))
 
 
+def test_schedule_advances_per_optimizer_step_under_multisteps():
+    """Regression (ADVICE r4 high): optax.MultiSteps advances the inner adamw
+    count (and its warmup-cosine schedule) once per k micro-batches, so the
+    schedule horizon must be sized in OPTIMIZER steps. After consuming all
+    total_steps*k micro-batches the inner count must equal total_steps and
+    the cosine must have reached its end value."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cambrian_tpu.train.optimizer import (
+        TrainConfig, _schedule, build_optimizer,
+    )
+
+    k, opt_steps = 4, 8
+    cfg = TrainConfig(learning_rate=1e-2, lr_scheduler_type="cosine",
+                      warmup_ratio=0.25, total_steps=opt_steps)
+    params = {"w": jnp.ones((4, 4))}
+    tx, _ = build_optimizer(params, cfg)
+    mtx = optax.MultiSteps(tx, k)
+    state = mtx.init(params)
+    grads = {"w": jnp.full((4, 4), 0.1)}
+    for _ in range(opt_steps * k):  # one epoch of micro-batches
+        updates, state = mtx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    counts = [int(l) for l in jax.tree.leaves(state)
+              if hasattr(l, "dtype") and l.dtype == jnp.int32 and l.ndim == 0]
+    # MultiSteps' gradient_step and the inner adamw count both sit at
+    # opt_steps; nothing should have advanced past it (micro-step counting
+    # would leave the inner count at opt_steps while the schedule was sized
+    # for opt_steps*k and never finish the cosine)
+    assert max(counts) == opt_steps, counts
+    assert float(_schedule(cfg.learning_rate, cfg)(opt_steps)) <= 1e-9
+    # mid-horizon sanity: the schedule peaked at warmup end
+    warmup = int(cfg.warmup_ratio * opt_steps)
+    assert float(_schedule(cfg.learning_rate, cfg)(warmup)) == pytest.approx(
+        1e-2, rel=1e-6)
+
+
+def test_trainer_sizes_schedule_in_optimizer_steps(workdir, tmp_path):
+    """End-to-end: with gradient_accumulation_steps=2 the trainer must size
+    total_steps (and hence the logged LR trajectory) in optimizer steps —
+    the final logged LR reaches the cosine tail, not 1/k of the horizon."""
+    d, ckpt, data_path, img_dir = workdir
+
+    # 16 records -> 2 micro-batches/epoch at global batch 8; accum 2 ->
+    # 1 optimizer step/epoch; 2 epochs = 2 optimizer steps, all data consumed
+    records = [json.loads(l) for l in open(data_path)]
+    big = tmp_path / "train16.jsonl"
+    with open(big, "w") as f:
+        for i in range(16):
+            r = dict(records[i % len(records)], id=str(i))
+            f.write(json.dumps(r) + "\n")
+
+    out = str(tmp_path / "out_accum")
+    model_args, data_args, training_args = _args(
+        d, ckpt, str(big), img_dir, out)
+    training_args.gradient_accumulation_steps = 2
+    training_args.num_train_epochs = 2
+    training_args.lr_scheduler_type = "cosine"
+    training_args.warmup_ratio = 0.0
+    training_args.save_steps = 100
+
+    history = train(model_args, data_args, training_args)
+    # the horizon IS the discriminator: micro-step sizing set total_steps to
+    # 4 (loop) / 8 (schedule) here and exhausted the data halfway through
+    assert training_args.total_steps == 2
+    assert [h["step"] for h in history] == [1, 2]
+    assert all(np.isfinite(h["loss"]) for h in history)
+    # warmup 0 -> lr(0) = peak; cosine over 2 steps -> lr(1) = peak/2
+    peak = training_args.learning_rate
+    assert history[0]["lr"] == pytest.approx(peak, rel=1e-6)
+    assert history[1]["lr"] == pytest.approx(peak / 2, rel=1e-6)
+
+
 def test_train_resume(workdir):
     d, ckpt, data_path, img_dir = workdir
     out = str(d / "out")  # same output dir as the previous test

@@ -14,6 +14,7 @@ for cfg in "$@"; do
   echo "=== $(date -u +%H:%M:%S) start $cfg ===" | tee -a "$LOG"
   timeout 5400 python tests/test_production_compile.py "$cfg" \
     >> "$LOG" 2>&1
-  echo "=== $(date -u +%H:%M:%S) done $cfg rc=$? ===" | tee -a "$LOG"
+  rc=$?  # capture BEFORE any $(...) in the echo resets it
+  echo "=== $(date -u +%H:%M:%S) done $cfg rc=$rc ===" | tee -a "$LOG"
 done
 echo "=== sweep complete ===" | tee -a "$LOG"

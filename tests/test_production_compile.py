@@ -159,7 +159,10 @@ def _mem_stats(compiled):
 
 
 def _record(name, payload):
-    payload = {"config": name, **payload}
+    payload = {"config": name,
+               "backend": os.environ.get("PRODUCTION_COMPILE_TOPOLOGY")
+               or jax.default_backend(),
+               **payload}
     with open(RESULTS_PATH, "a") as f:
         f.write(json.dumps(payload) + "\n")
     print(json.dumps(payload), flush=True)
@@ -389,6 +392,17 @@ CONFIGS = {
     "8b_stage2_bs2": lambda: _compile_train(
         _cfg_8b(), (1, 8, 1), 2, stage1=False, name="8b_stage2_bs2",
         mu_dtype="bfloat16"),
+    # scan_layers variant: the r5 topology run measured the UNROLLED bs2
+    # step at 21.13 GB — dominated by ~32 concurrently-live 112 MB per-layer
+    # remat buffers (the latency-hiding scheduler overlaps every layer's
+    # fsdp all-gather + rematted recompute). lax.scan serializes the
+    # backward per 3-layer injection segment, bounding that working set.
+    "8b_stage2_bs2_scan": lambda: _compile_train(
+        _cfg_8b(scan_layers=True), (1, 8, 1), 2, stage1=False,
+        name="8b_stage2_bs2_scan", mu_dtype="bfloat16"),
+    "8b_stage2_bs1_scan": lambda: _compile_train(
+        _cfg_8b(scan_layers=True), (1, 8, 1), 1, stage1=False,
+        name="8b_stage2_bs1_scan", mu_dtype="bfloat16"),
     # 13B (pretrain/finetune_cambrian_13b.sh): BASELINE config #3 — same
     # (1,8,1) mesh as 8B, Vicuna geometry (image_position 35, stride 4)
     "13b_stage1": lambda: _compile_train(
@@ -474,12 +488,45 @@ def test_8b_stage2_records_budget(capfd):
     assert resident > 0.5 * analytic, "implausibly small measured footprint"
 
 
+def _record_compile_failure(name, exc):
+    """Durable jsonl row for a failed topology compile (VERDICT r4 weak #7:
+    the r4 70 GB RESOURCE_EXHAUSTED finding lived only in PERF_NOTES prose).
+    Parses the TPU compiler's HBM accounting out of the error text."""
+    import re
+
+    msg = str(exc)
+    rec = {"kind": "topology_compile_failure",
+           "topology": os.environ.get("PRODUCTION_COMPILE_TOPOLOGY"),
+           "error": type(exc).__name__}
+    m = re.search(r"Used ([0-9.]+)([GMK]) of ([0-9.]+)([GMK]) hbm", msg)
+    scale = {"K": 1 / 1024 ** 2, "M": 1 / 1024, "G": 1.0}
+    if m:
+        rec["hbm_used_gib"] = round(float(m.group(1)) * scale[m.group(2)], 2)
+        rec["hbm_limit_gib"] = round(float(m.group(3)) * scale[m.group(4)], 2)
+    m = re.search(r"HLO temp\s+([0-9.]+)([GMK])", msg)
+    if m:
+        rec["hlo_temp_gib"] = round(float(m.group(1)) * scale[m.group(2)], 2)
+    allocs = re.findall(
+        r"\d+\. Size: ([0-9.]+[GMK])\s*\n(?:\s*Operator: op_name=\"([^\"]*)\".*\n)?"
+        r"\s*Shape: (\S+)", msg)
+    rec["largest_allocations"] = [
+        {"size": s, "op": op[:160], "shape": shape}
+        for s, op, shape in allocs[:8]]
+    return _record(name, rec)
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(CONFIGS)
     bad = []
     for n in names:
         print(f"== {n} ==", flush=True)
-        payload = CONFIGS[n]()
+        try:
+            payload = CONFIGS[n]()
+        except Exception as e:  # noqa: BLE001 — record, report, move on
+            _record_compile_failure(n, e)
+            print(f"{n}: COMPILE FAILED: {str(e)[:400]}", flush=True)
+            bad.append(n)
+            continue
         if os.environ.get("PRODUCTION_COMPILE_TOPOLOGY"):
             # real-TPU-compiler buffer assignment: peak (args + temps +
             # non-aliased outputs) is the authoritative fit answer the CPU

@@ -96,12 +96,24 @@ _LETTER_RE = re.compile(r"\b([A-F])\b")
 
 def extract_choice_letter(prediction: str, choices: Optional[Sequence[str]] = None) -> str:
     """Pull the chosen option letter out of a free-form answer (the fuzzy
-    matching the reference's *_test.py scorers do, e.g. mmbench/seed)."""
+    matching the reference's *_test.py scorers do, e.g. mmbench/seed).
+
+    Mirrors the reference CV-Bench extractor's two extra moves
+    (eval/eval/ade/ade_test.py:21-30): a trailing "answer is ..." span is
+    unwrapped first, and a PARENTHESIZED letter may be lowercase
+    ("(b)." -> B). Bare-letter and mid-text scanning stay uppercase-only so
+    option letters are found but the article "a" never is."""
     pred = prediction.strip()
     if not pred:
         return ""
-    # leading "A", "(A)", "A.", "A)"...
-    m = re.match(r"^\(?([A-F])[\).:,\s]", pred + " ")
+    m = re.search(r"answer\s+is:?\s*(.+)$", pred, re.IGNORECASE | re.DOTALL)
+    if m and m.group(1).strip():
+        pred = m.group(1).strip()
+    m = re.match(r"^\(([A-Fa-f])\)", pred)
+    if m:
+        return m.group(1).upper()
+    # leading "A", "A.", "A)", "A:"...
+    m = re.match(r"^([A-F])[\).:,\s]", pred + " ")
     if m:
         return m.group(1)
     m = _LETTER_RE.search(pred)
@@ -345,6 +357,31 @@ def relaxed_accuracy(records: List[dict], tolerance: float = 0.05) -> Dict[str, 
         except ValueError:
             hits.append(normalize_answer(pred) == normalize_answer(gold))
     return {"accuracy": float(np.mean(hits)) if hits else 0.0}
+
+
+def mathvista_score(records: List[dict]) -> Dict[str, float]:
+    """MathVista testmini scoring with the reference scorer's LIVE semantics
+    (eval/eval/mathvista/mathvista_test.py:36-62): case-folded equality, or
+    numeric credit when the gold is within 5% — of the MODEL's number (the
+    reference calls relaxed_accuracy(pred=gt, gt=answer), so the tolerance
+    is relative to the prediction; mirrored for metric parity). The file's
+    multiple-choice ``split('.')`` branch is dead code there — it gates on
+    type == "multiple-choice" while mathvista_eval.py:131 writes
+    type="multi_choice" — and multi-choice golds arrive as option letters
+    (mathvista_eval.py:106-111), which our prompt builder also emits."""
+    hits = []
+    for r in records:
+        pred = str(r["prediction"]).lower().strip()
+        gold = str(r["answer"]).lower()
+        ok = pred == gold
+        if not ok:
+            try:
+                p, g = float(pred), float(gold)
+                ok = abs(g - p) <= abs(p) * 0.05
+            except ValueError:
+                ok = False
+        hits.append(ok)
+    return _with_categories(records, hits)
 
 
 def normalized_edit_similarity(records: List[dict]) -> Dict[str, float]:

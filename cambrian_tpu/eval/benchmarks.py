@@ -17,6 +17,7 @@ from .base import (
     circular_multiple_choice_accuracy,
     contains_match,
     exact_match,
+    mathvista_score,
     mme_score,
     mmmu_score,
     multiple_choice_accuracy,
@@ -440,12 +441,36 @@ register_benchmark(Benchmark(
           "+ official {model}_mmvet_submission.json artifact",
 ))
 
+def _mathvista_prompt(record) -> dict:
+    """MathVista row -> prompt. Multi-choice golds map to option letters
+    (what the reference answer rows carry, mathvista_eval.py:106-111);
+    category rides along from metadata for the scorer's per-category table
+    and question_type for format-aware consumers."""
+    qtype = _get(record, "question_type", default="free_form")
+    out = _mcq_prompt(record) if qtype == "multi_choice" \
+        else _short_prompt(record)
+    out["question_type"] = qtype
+    if qtype == "multi_choice" and out.get("choices"):
+        # gold arrives as the choice TEXT; the reference answer rows carry
+        # the option letter (reverse_dict, mathvista_eval.py:106-111) — map
+        # unconditionally, incl. single-character choices ("3" -> "A")
+        # which the shared _letter_answer leaves alone
+        raw = str(_get(record, "answer", default=out.get("answer"))).strip()
+        for i, c in enumerate(out["choices"]):
+            if str(c).strip().lower() == raw.lower():
+                out["answer"] = string.ascii_uppercase[i]
+                break
+    meta = _get(record, "metadata", default=None)
+    cat = record.get("category") or (
+        meta.get("category") if isinstance(meta, dict) else None)
+    if cat:
+        out["category"] = str(cat)
+    return out
+
+
 register_benchmark(Benchmark(
     name="mathvista", dataset="AI4Math/MathVista", split="testmini",
-    build_prompt=lambda r: (
-        _mcq_prompt(r) if _get(r, "question_type") == "multi_choice"
-        else _short_prompt(r)
-    ),
-    score=exact_match,
+    build_prompt=_mathvista_prompt,
+    score=mathvista_score,
     notes="reference extracts answers with GPT; regex extraction here",
 ))

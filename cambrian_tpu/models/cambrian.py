@@ -18,10 +18,12 @@ decoder + LM head). Vision towers are separate modules orchestrated by
 ``CambrianModel`` (frozen in stage-1 training, separately sharded).
 """
 
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
@@ -581,10 +583,15 @@ class _AuxProjector(nn.Module):
     def __call__(self, x):
         shape = x.shape
         x = x.reshape(-1, shape[-1])  # one big GEMM (docs/PERF_NOTES.md)
+        # batch-major rows: pin so the partitioner all-gathers the small
+        # weights instead of resharding the tower-bank activations (see
+        # sva.py::_flat; same r5 topology-compile finding)
+        x = constrain(x, ("data", "fsdp"), None)
         x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc1")(x)
         x = gelu_exact(x)
         x = nn.Dense(self.vision_hidden_size, dtype=self.dtype, name="fc2")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")(x)
+        x = constrain(x, ("data", "fsdp"), None)
         return x.reshape(*shape[:-1], x.shape[-1])
 
 
@@ -613,21 +620,74 @@ def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(token_loss) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def chunked_cross_entropy(hidden: jnp.ndarray, labels: jnp.ndarray,
-                          logits_fn, chunk: int) -> jnp.ndarray:
-    """Shifted next-token CE computed over sequence chunks of ``chunk``
-    tokens, applying ``logits_fn`` (the lm_head) per chunk.
+def head_logits(cfg: CambrianConfig, head: jnp.ndarray,
+                hidden: jnp.ndarray) -> jnp.ndarray:
+    """Pure-function lm_head: the same math as ``CambrianLM._logits`` but
+    over the raw head array (``lm_head/kernel`` [H, V], or the
+    ``embed_tokens/embedding`` [V, H] when tied). The chunked CE needs the
+    head as an EXPLICIT argument so its custom_vjp can accumulate the head
+    cotangent under a sharding constraint (see ``chunked_cross_entropy``);
+    parity with the module method is gated by
+    tests/test_cambrian_model.py::test_head_logits_matches_module."""
+    bf16_head = cfg.lm_head_dtype == "bf16"
+    if cfg.tie_word_embeddings:
+        if bf16_head:
+            logits = _f32_acc_dot_general(
+                hidden.astype(jnp.bfloat16), head.astype(jnp.bfloat16).T,
+                (((hidden.ndim - 1,), (0,)), ((), ())))
+        else:
+            logits = hidden.astype(jnp.float32) @ head.astype(jnp.float32).T
+    else:
+        if bf16_head:
+            logits = _f32_acc_dot_general(
+                hidden.astype(jnp.bfloat16), head.astype(jnp.bfloat16),
+                (((hidden.ndim - 1,), (0,)), ((), ())))
+        else:
+            logits = hidden.astype(jnp.float32) @ head.astype(jnp.float32)
+    if cfg.logit_scale is not None:  # cohere
+        logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcapping is not None:  # gemma2
+        cap = cfg.final_logit_softcapping
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
 
-    Same math as ``cross_entropy_loss(logits_fn(hidden), labels)`` —
+
+def extract_head(cfg: CambrianConfig, model_params):
+    """(head array, PartitionSpec-style tuple) for ``head_logits`` /
+    ``chunked_cross_entropy``, pulled out of a full CambrianLM params tree.
+    The spec mirrors parallel/sharding.py's rules for the same leaves."""
+    p = model_params.get("params", model_params)
+    if cfg.tie_word_embeddings:
+        return p["embed_tokens"]["embedding"], (("model", "fsdp"), None)
+    return p["lm_head"]["kernel"], (None, ("model", "fsdp"))
+
+
+def chunked_cross_entropy(hidden: jnp.ndarray, labels: jnp.ndarray,
+                          logits_fn, chunk: int, head,
+                          head_spec=None) -> jnp.ndarray:
+    """Shifted next-token CE computed over sequence chunks of ``chunk``
+    tokens, applying ``logits_fn(head, hidden_chunk)`` (the lm_head) per
+    chunk.
+
+    Same math as ``cross_entropy_loss(logits_fn(head, hidden), labels)`` —
     log_softmax is row-wise and every token's loss term is independent, so
     chunking changes only the fp32 summation order — but the fp32
     [B, S, vocab] logits never exist in HBM: each ``lax.scan`` iteration
-    materializes [B, chunk, vocab] and ``jax.checkpoint`` re-derives it in
-    the backward pass. At the 8B stage-2 production geometry (bs 8/device,
-    S 2048, V 128256) that replaces two 7.83 GB fp32 temps per device with
-    two ~0.5 GB ones at chunk=128 (r4 TPU buffer-assignment measurement,
-    docs/PERF_NOTES.md). The reference pays the full fp32 logits tax
-    (cambrian_llama.py:409-422) — on 32 GB v4 chips it can afford to."""
+    materializes [B, chunk, vocab], and the custom_vjp backward recomputes
+    it per chunk (the jax.checkpoint behaviour, made explicit). At the 8B
+    stage-2 production geometry (bs 8/device, S 2048, V 128256) that
+    replaces two 7.83 GB fp32 temps per device with two ~0.5 GB ones at
+    chunk=128 (r4 TPU buffer-assignment measurement, docs/PERF_NOTES.md).
+
+    ``head`` is the lm_head weight as an EXPLICIT argument (not a closure):
+    lax.scan accumulates cotangents of closed-over constants in a carry the
+    partitioner cannot see a sharding for, and keeps it REPLICATED — the r5
+    topology compile measured the full fp32 [4096, 128256] head cotangent
+    (1.96 GiB/device, the largest allocation) on every device despite the
+    fsdp-sharded param. Here the backward scan accumulates the head
+    cotangent under ``constrain(. , *head_spec)`` so each device carries
+    only its param-aligned shard. The reference pays the full fp32 logits
+    tax instead (cambrian_llama.py:409-422) — on 32 GB v4 chips it can."""
     b, s, h = hidden.shape
     # the label for position i is labels[:, i + 1]; the final position (and
     # any pad tail) is IGNORE_INDEX, mirroring the shift in
@@ -641,18 +701,76 @@ def chunked_cross_entropy(hidden: jnp.ndarray, labels: jnp.ndarray,
         nxt = jnp.pad(nxt, ((0, 0), (0, pad)), constant_values=IGNORE_INDEX)
     hid_c = hidden.reshape(b, n, chunk, h).transpose(1, 0, 2, 3)
     lab_c = nxt.reshape(b, n, chunk).transpose(1, 0, 2)
+    # normalize: one hashable spec tuple per leaf of `head` (custom_vjp
+    # static arg). `head` is a single array in every current caller
+    # (extract_head), so a single spec tuple is the common form.
+    n_leaves = len(jax.tree.leaves(head))
+    if head_spec is None:
+        spec_per_leaf = ((),) * n_leaves
+    elif n_leaves == 1 and head_spec and isinstance(
+            head_spec[0], (str, tuple, type(None))):
+        spec_per_leaf = (tuple(head_spec),)
+    else:
+        spec_per_leaf = tuple(tuple(sp) if sp else () for sp in head_spec)
+    assert len(spec_per_leaf) == n_leaves, (spec_per_leaf, n_leaves)
+    return _chunked_ce(logits_fn, spec_per_leaf, hid_c, lab_c, head)
 
-    @jax.checkpoint
-    def body(carry, xs):
+
+def _ce_chunk_total(logits_fn, head, hc, lc):
+    """Sum of valid-token NLL over one [B, chunk] slab (fp32)."""
+    # vocab-sharded logits (the head rule): log_softmax stats psum over the
+    # vocab shards; never force them back to batch sharding
+    logits = constrain(logits_fn(head, hc).astype(jnp.float32),
+                       None, None, ("model", "fsdp"))
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    valid = lc != IGNORE_INDEX
+    safe = jnp.where(valid, lc, 0)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(valid, -ll, 0.0))
+
+
+def _valid_count(lab_c):
+    return jnp.maximum(
+        jnp.sum((lab_c != IGNORE_INDEX).astype(jnp.float32)), 1.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _chunked_ce(logits_fn, spec_per_leaf, hid_c, lab_c, head):
+    def body(tot, xs):
         hc, lc = xs
-        logp = jax.nn.log_softmax(logits_fn(hc).astype(jnp.float32), axis=-1)
-        valid = lc != IGNORE_INDEX
-        safe = jnp.where(valid, lc, 0)
-        ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        tot, cnt = carry
-        return (tot + jnp.sum(jnp.where(valid, -ll, 0.0)),
-                cnt + jnp.sum(valid.astype(jnp.float32))), None
+        return tot + _ce_chunk_total(logits_fn, head, hc, lc), None
+    tot, _ = jax.lax.scan(body, jnp.float32(0.0), (hid_c, lab_c))
+    return tot / _valid_count(lab_c)
 
-    (tot, cnt), _ = jax.lax.scan(
-        body, (jnp.float32(0.0), jnp.float32(0.0)), (hid_c, lab_c))
-    return tot / jnp.maximum(cnt, 1.0)
+
+def _chunked_ce_fwd(logits_fn, spec_per_leaf, hid_c, lab_c, head):
+    return (_chunked_ce(logits_fn, spec_per_leaf, hid_c, lab_c, head),
+            (hid_c, lab_c, head))
+
+
+def _chunked_ce_bwd(logits_fn, spec_per_leaf, res, g):
+    hid_c, lab_c, head = res
+    scale = g / _valid_count(lab_c)
+    head_leaves, head_def = jax.tree.flatten(head)
+
+    def body(acc, xs):
+        hc, lc = xs
+        _, vjp_fn = jax.vjp(
+            lambda hd, hcc: _ce_chunk_total(logits_fn, hd, hcc, lc), head, hc)
+        dhead, dhc = vjp_fn(scale)
+        new_acc = [
+            constrain(a + d, *sp)
+            for a, d, sp in zip(acc, jax.tree.leaves(dhead), spec_per_leaf)
+        ]
+        return new_acc, dhc
+
+    zeros = [
+        constrain(jnp.zeros(l.shape, l.dtype), *sp)
+        for l, sp in zip(head_leaves, spec_per_leaf)
+    ]
+    dhead_leaves, dhid_c = jax.lax.scan(body, zeros, (hid_c, lab_c))
+    dlab = np.zeros(lab_c.shape, jax.dtypes.float0)
+    return dhid_c, dlab, jax.tree.unflatten(head_def, dhead_leaves)
+
+
+_chunked_ce.defvjp(_chunked_ce_fwd, _chunked_ce_bwd)

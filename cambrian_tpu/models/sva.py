@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from ..ops.activations import gelu_exact
 from ..ops.attention import windowed_cross_attention
+from ..parallel.sharding import constrain
 
 # 2-D sincos positional-embedding helpers (vision_sampler.py:9-57); kept for
 # towers/experiments that want fixed embeddings.
@@ -66,9 +67,18 @@ def _gelu(x):
 def _flat(fn, x):
     """Apply fn over a 2-D [rows, C] view: XLA schedules Dense over >2-D
     inputs as per-slice batched GEMMs (tiny M for windowed tensors); one flat
-    matmul keeps the MXU busy (docs/PERF_NOTES.md)."""
+    matmul keeps the MXU busy (docs/PERF_NOTES.md).
+
+    Both sides are pinned to batch sharding (rows are batch-major, so dim 0
+    over (data, fsdp) IS the batch shard): without the pins the partitioner
+    reshards the multi-MB window activations across devices to match the
+    2-4 MB fsdp-sharded projection weights — the r5 13B topology compile
+    measured ~35 GiB of fp32 K/V-LayerNorm all-to-all buffers from exactly
+    this choice (docs/production_compile_r5.jsonl). Pinned, each device
+    all-gathers the small weight and the whole projection stays local."""
     shape = x.shape
-    out = fn(x.reshape(-1, shape[-1]))
+    x2 = constrain(x.reshape(-1, shape[-1]), ("data", "fsdp"), None)
+    out = constrain(fn(x2), ("data", "fsdp"), None)
     return out.reshape(*shape[:-1], out.shape[-1])
 
 
@@ -140,9 +150,11 @@ class MultiKVCrossAttention(nn.Module):
             mask = jnp.concatenate([m.astype(bool) for m in mask_list], axis=-1)
 
         out = windowed_cross_attention(q, k, v, mask)
-        out = out.reshape(b * q_len, self.hidden_dim)
+        out = constrain(out.reshape(b * q_len, self.hidden_dim),
+                        ("data", "fsdp"), None)
         out = nn.Dense(self.out_dim, use_bias=self.attention_bias, dtype=self.dtype,
                        name="o_proj")(out)
+        out = constrain(out, ("data", "fsdp"), None)
         return out.reshape(b, q_len, self.out_dim)
 
 
@@ -159,22 +171,28 @@ class CrossAttention(nn.Module):
     def __call__(self, queries, kv, mask=None):
         b, q_len = queries.shape[:2]
         head_dim = self.hidden_dim // self.num_heads
-        q = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="q_ln")(queries)
-        q = nn.Dense(self.hidden_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                     name="q_proj")(q).reshape(b, q_len, self.num_heads, head_dim)
-        k = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="k_ln")(kv)
-        k = nn.Dense(self.hidden_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                     name="k_proj")(k)
-        v = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="v_ln")(kv)
-        v = nn.Dense(self.hidden_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                     name="v_proj")(v)
+        q_ln = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="q_ln")
+        q_proj = nn.Dense(self.hidden_dim, use_bias=self.attention_bias,
+                          dtype=self.dtype, name="q_proj")
+        q = _flat(lambda t: q_proj(q_ln(t)), queries)
+        q = q.reshape(b, q_len, self.num_heads, head_dim)
+        k_ln = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="k_ln")
+        k_proj = nn.Dense(self.hidden_dim, use_bias=self.attention_bias,
+                          dtype=self.dtype, name="k_proj")
+        k = _flat(lambda t: k_proj(k_ln(t)), kv)
+        v_ln = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="v_ln")
+        v_proj = nn.Dense(self.hidden_dim, use_bias=self.attention_bias,
+                          dtype=self.dtype, name="v_proj")
+        v = _flat(lambda t: v_proj(v_ln(t)), kv)
         w = kv.shape[2]
         k = k.reshape(b, q_len, w, self.num_heads, head_dim)
         v = v.reshape(b, q_len, w, self.num_heads, head_dim)
         out = windowed_cross_attention(q, k, v, mask)
-        out = out.reshape(b, q_len, self.hidden_dim)
-        return nn.Dense(self.out_dim, use_bias=self.attention_bias, dtype=self.dtype,
-                        name="o_proj")(out)
+        out = _flat(
+            nn.Dense(self.out_dim, use_bias=self.attention_bias,
+                     dtype=self.dtype, name="o_proj"),
+            out.reshape(b, q_len, self.hidden_dim))
+        return out
 
 
 class VisionCrossAttentionLayer(nn.Module):
@@ -256,7 +274,8 @@ class AggregationBlock(nn.Module):
             )(queries, kv, mask)
         # MLP path consumes the vision latents directly ([B,Q,1,C] -> [B,Q,C])
         x = kv[..., 0, :] if kv.ndim == 4 else kv
-        return Mlp(self.out_dim, self.out_dim, dtype=self.dtype, name="attention_layer")(x)
+        return _flat(Mlp(self.out_dim, self.out_dim, dtype=self.dtype,
+                         name="attention_layer"), x)
 
 
 class VisionAggregationLayer(nn.Module):
@@ -273,18 +292,20 @@ class VisionAggregationLayer(nn.Module):
     def __call__(self, queries, context_feature, kv_list, mask_list=None):
         num_towers = len(kv_list)
         residual = queries
-        context = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
-                           name="proj_context")(context_feature)
+        context = _flat(nn.Dense(self.hidden_dim, use_bias=False,
+                                 dtype=self.dtype, name="proj_context"),
+                        context_feature)
         cat = jnp.concatenate([queries, context], axis=-1)
 
         if num_towers > 1:
-            weights = Mlp(self.hidden_dim, num_towers, dtype=self.dtype,
-                          name="weight_mlp")(cat)
+            weights = _flat(Mlp(self.hidden_dim, num_towers, dtype=self.dtype,
+                                name="weight_mlp"), cat)
             weights = jax.nn.softmax(weights, axis=-1)[..., None]  # [B,Q,N,1]
         else:
             weights = None
 
-        x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="proj_in")(cat)
+        x = _flat(nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype,
+                           name="proj_in"), cat)
 
         aggregated = []
         for i, kv in enumerate(kv_list):
@@ -309,8 +330,9 @@ class VisionAggregationLayer(nn.Module):
         combined = (stacked * weights).sum(axis=2) if weights is not None else stacked[:, :, 0]
 
         x = x + combined
-        x = nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm")(x)
-        x = Mlp(self.hidden_dim, self.q_dim, dtype=self.dtype, name="proj_out")(x)
+        x = _flat(nn.LayerNorm(epsilon=_LN_EPS, dtype=self.dtype, name="norm"), x)
+        x = _flat(Mlp(self.hidden_dim, self.q_dim, dtype=self.dtype,
+                      name="proj_out"), x)
         return x + residual
 
 

@@ -14,6 +14,8 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+from ..parallel.sharding import constrain
+
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -81,6 +83,12 @@ def windowed_cross_attention(
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
+    # Every tensor here is per-query-window local: pin batch sharding so the
+    # partitioner never reshards the [B,Q,W,H,D] banks to match weight
+    # layouts (no-op without a mesh — parallel.sharding.constrain).
+    q = constrain(q, ("data", "fsdp"), None, None, None)
+    k = constrain(k, ("data", "fsdp"), None, None, None, None)
+    v = constrain(v, ("data", "fsdp"), None, None, None, None)
     logits = jnp.einsum("bqhd,bqwhd->bqhw", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
     if mask is not None:

@@ -41,7 +41,14 @@ def _rule_for(path: str, shape: Tuple[int, ...]) -> P:
         # masked-gather + psum, which GSPMD handles natively.
         return P(("model", "fsdp"), None)
     if "lm_head" in path:
-        return P("fsdp", "model")          # hidden -> vocab (column parallel)
+        # vocab over BOTH axes, hidden replicated (the embedding rule's
+        # philosophy): with hidden over fsdp the chunked-CE GEMM must move
+        # the 1.96 GiB fp32 weight (all-gather) or the 525 MB fp32 logits
+        # (all-to-all) every chunk — the r5 8B-stage-2 topology failures.
+        # Vocab-sharded, each chunk all-gathers only the ~8 MB bf16 hidden
+        # rows, the logits/log_softmax stay vocab-sharded (psum'd stats),
+        # and the head cotangent is born param-aligned with no collective.
+        return P(None, ("model", "fsdp"))
     if any(k in path for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
                                "fc1", "weights_in", "pwconv1")):
         return P("fsdp", "model")          # column parallel

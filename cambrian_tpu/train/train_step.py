@@ -20,6 +20,8 @@ from ..models.cambrian import (
     CambrianLM,
     chunked_cross_entropy,
     cross_entropy_loss,
+    extract_head,
+    head_logits,
 )
 from ..parallel.sharding import batch_sharding, infer_param_shardings, replicated
 from .optimizer import TrainConfig, build_optimizer
@@ -60,11 +62,16 @@ def _supervised_loss(model: CambrianLM, model_params, batch, aux_features):
             batch.get("aux_masks"),
             method=CambrianLM.hidden_states,
         )
+        # head passed EXPLICITLY (not closed over): the CE's custom_vjp
+        # accumulates the head cotangent under its param sharding — closed
+        # over, lax.scan carried the full fp32 [H, V] cotangent REPLICATED
+        # on every device (1.96 GiB at 8B; the r5 topology-compile finding)
+        cfg = model.cfg
+        head, head_spec = extract_head(cfg, model_params)
         return chunked_cross_entropy(
             hidden, batch["labels"],
-            lambda hc: model.apply(model_params, hc,
-                                   method=CambrianLM.logits),
-            chunk)
+            lambda hd, hc: head_logits(cfg, hd, hc),
+            chunk, head, head_spec)
     logits = model.apply(
         model_params,
         batch["input_ids"],

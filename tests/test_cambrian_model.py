@@ -14,6 +14,8 @@ from cambrian_tpu.models.cambrian import (
     CambrianLM,
     chunked_cross_entropy,
     cross_entropy_loss,
+    extract_head,
+    head_logits,
     unwindow_mask,
     window_features,
     window_mask,
@@ -139,9 +141,10 @@ def test_chunked_ce_matches_full_loss_and_grads(setup):
                              batch["position_ids"], batch["aux_features"],
                              batch["aux_masks"],
                              method=CambrianLM.hidden_states)
+        head, spec = extract_head(cfg, p)
         return chunked_cross_entropy(
             hidden, batch["labels"],
-            lambda hc: model.apply(p, hc, method=CambrianLM.logits), chunk)
+            lambda hd, hc: head_logits(cfg, hd, hc), chunk, head, spec)
 
     l_full, g_full = jax.value_and_grad(full_loss)(params)
     for chunk in (16, 24):  # 24 does not divide the packed length
@@ -150,6 +153,20 @@ def test_chunked_ce_matches_full_loss_and_grads(setup):
         diffs = jax.tree.map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))), g_full, g_c)
         assert max(jax.tree.leaves(diffs)) < 1e-4, chunk
+
+
+def test_head_logits_matches_module(setup):
+    """head_logits (the pure-function lm_head the chunked CE differentiates
+    through) must match CambrianLM._logits exactly — same dot, same dtype
+    discipline — or the chunked and full losses silently diverge."""
+    cfg, model, params, batch = setup
+    hidden = model.apply(params, batch["input_ids"], batch["attention_mask"],
+                         batch["position_ids"], batch["aux_features"],
+                         batch["aux_masks"], method=CambrianLM.hidden_states)
+    head, _ = extract_head(cfg, params)
+    via_fn = head_logits(cfg, head, hidden)
+    via_module = model.apply(params, hidden, method=CambrianLM.logits)
+    np.testing.assert_array_equal(np.asarray(via_fn), np.asarray(via_module))
 
 
 def test_prefill_decode_matches_full_forward(setup):

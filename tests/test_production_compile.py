@@ -403,16 +403,28 @@ CONFIGS = {
     "8b_stage2_bs1_scan": lambda: _compile_train(
         _cfg_8b(scan_layers=True), (1, 8, 1), 1, stage1=False,
         name="8b_stage2_bs1_scan", mu_dtype="bfloat16"),
+    # v5e-16 geometry (PRODUCTION_COMPILE_TOPOLOGY=v5e:4x4): fsdp=16 halves
+    # the fp32 Adam residency (~5.5 GB/device), bs 4/device keeps global 64
+    "8b_stage2_bs4_v16": lambda: _compile_train(
+        _cfg_8b(scan_layers=True), (1, 16, 1), 4, stage1=False,
+        name="8b_stage2_bs4_v16", mu_dtype="bfloat16"),
     # 13B (pretrain/finetune_cambrian_13b.sh): BASELINE config #3 — same
     # (1,8,1) mesh as 8B, Vicuna geometry (image_position 35, stride 4)
     "13b_stage1": lambda: _compile_train(
         _cfg_13b(scan_layers=True), (1, 8, 1), 8, stage1=True,
         name="13b_stage1"),
+    # fallback geometry if bs8 exceeds HBM: per-device bs 4 + 2x grad
+    # accumulation preserves the launch script's global 64 per optimizer step
+    "13b_stage1_bs4": lambda: _compile_train(
+        _cfg_13b(scan_layers=True), (1, 8, 1), 4, stage1=True,
+        name="13b_stage1_bs4"),
     "13b_serve_int4": lambda: _compile_generate(
         _cfg_13b(quantize="int4", scan_layers=True), (1, 1, 1), 1,
         name="13b_serve_int4"),
     "34b_stage1": lambda: _compile_train(
         _cfg_34b(), (1, 2, 4), 4, stage1=True, name="34b_stage1"),
+    "34b_stage1_bs2": lambda: _compile_train(
+        _cfg_34b(), (1, 2, 4), 2, stage1=True, name="34b_stage1_bs2"),
     "34b_stage2": lambda: _compile_train(
         _cfg_34b(), (1, 2, 4), 4, stage1=False, name="34b_stage2"),
     "8b_serve_int8": lambda: _compile_generate(

@@ -225,7 +225,7 @@ def _q4_matmul_kernel_v2(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
 
 
 def _q4_matmul_kernel_v3(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
-                         k_blocks, gpb):
+                         k_blocks, gpb, dequant="convert"):
     """v3 (r4): groupwise scaling applied to PARTIAL SUMS, not weights.
 
     The r4 decode-chunk profile showed the int4 GEMVs at ~2.7x their weight
@@ -234,7 +234,17 @@ def _q4_matmul_kernel_v3(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
     the groupwise mul moves to the [bm, bn] partial results (bm=8 at decode:
     ~64x fewer muls); the weight side keeps only the unavoidable int4->bf16
     convert. One dot per scale group, statically unrolled (Mosaic dot is
-    2-D; gpb is 8/20 at production K-blocks)."""
+    2-D; gpb is 8/20 at production K-blocks).
+
+    ``dequant`` selects how the int4 tile becomes bf16 (the residual VPU
+    cost after v3; r4 left it unmeasured):
+      - "convert":  Mosaic's direct int4->bf16 convert (the v3 default)
+      - "via_int8": int4->int8->bf16 two-step (probes whether the narrow
+        direct convert is the slow path)
+      - "magic":    bitwise bf16 construction — (q+8) | 0x4300 reinterpreted
+        as bf16 is exactly 136+q, so w = bitcast(...) - 136 needs no
+        int->float convert at all (the llama.cpp/W4A16 trick)
+    """
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -243,7 +253,14 @@ def _q4_matmul_kernel_v3(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
 
     x = x_ref[0]                                    # [bm, bk]
     w4 = pltpu.bitcast(w_ref[0], jnp.int4)          # [bk, bn], original order
-    w = w4.astype(x.dtype)
+    if dequant == "magic":
+        u16 = (w4.astype(jnp.int8) + jnp.int8(8)).astype(jnp.uint16)
+        w = pltpu.bitcast(u16 | jnp.uint16(0x4300), jnp.bfloat16)
+        w = (w - jnp.bfloat16(136.0)).astype(x.dtype)
+    elif dequant == "via_int8":
+        w = w4.astype(jnp.int8).astype(x.dtype)
+    else:
+        w = w4.astype(x.dtype)
     bk, bn = w.shape
     group = bk // gpb
     s_all = scale_ref[0]                            # [gpb(_pad), bn] fp32
@@ -341,10 +358,13 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
                               lambda i, j, kb: (0, kb, j),
                               memory_space=pltpu.VMEM)
     # v3 (partial-sum scaling) is the default: 41.5 vs 33.8 tok/s at 13B-int4
-    # serving (docs/PERF_NOTES.md r4). CAMBRIAN_INT4_V2=1 keeps v2 for A/B.
+    # serving (docs/PERF_NOTES.md r4). CAMBRIAN_INT4_V2=1 keeps v2 for A/B;
+    # CAMBRIAN_INT4_DEQUANT=magic|via_int8 selects the v3 dequant variant.
     kern = (_q4_matmul_kernel_v2
             if os.environ.get("CAMBRIAN_INT4_V2", "0") == "1"
-            else _q4_matmul_kernel_v3)
+            else functools.partial(
+                _q4_matmul_kernel_v3,
+                dequant=os.environ.get("CAMBRIAN_INT4_DEQUANT", "convert")))
     out = pl.pallas_call(
         functools.partial(kern, k_blocks=k_blocks, gpb=gpb),
         grid=grid,

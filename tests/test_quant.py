@@ -146,10 +146,11 @@ def test_int4_matmul_matches_dequant():
                                rtol=1e-3, atol=1e-3)
 
 
-@pytest.mark.parametrize("version", ["v2", "v3"])
+@pytest.mark.parametrize("version", ["v2", "v3", "v3_via_int8", "v3_magic"])
 def test_int4_pallas_kernel_interpret_parity(version):
-    """The device int4 kernels (v2 weight-mul, v3 partial-sum scaling) in
-    pallas interpret mode vs the dequant oracle — CPU CI otherwise only
+    """The device int4 kernels (v2 weight-mul, v3 partial-sum scaling, plus
+    v3's dequant variants incl. the magic-number bitwise bf16 construction)
+    in pallas interpret mode vs the dequant oracle — CPU CI otherwise only
     exercises the XLA fallback path of int4_matmul."""
     import functools
 
@@ -163,8 +164,10 @@ def test_int4_pallas_kernel_interpret_parity(version):
     w = jnp.asarray(RNG.standard_normal((k, n)).astype(np.float32) * 0.02)
     q4, s = quant.quantize_int4(w)
     gpb, k_blocks = bk // quant.INT4_GROUP, k // bk
-    kern = (quant._q4_matmul_kernel_v3 if version == "v3"
-            else quant._q4_matmul_kernel_v2)
+    kern = (quant._q4_matmul_kernel_v2 if version == "v2"
+            else functools.partial(
+                quant._q4_matmul_kernel_v3,
+                dequant=version[3:].lstrip("_") or "convert"))
     out = pl.pallas_call(
         functools.partial(kern, k_blocks=k_blocks, gpb=gpb),
         grid=(1, n // bn, k_blocks),

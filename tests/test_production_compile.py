@@ -408,6 +408,9 @@ CONFIGS = {
     "8b_stage2_bs4_v16": lambda: _compile_train(
         _cfg_8b(scan_layers=True), (1, 16, 1), 4, stage1=False,
         name="8b_stage2_bs4_v16", mu_dtype="bfloat16"),
+    "8b_stage2_bs2_v16": lambda: _compile_train(
+        _cfg_8b(scan_layers=True), (1, 16, 1), 2, stage1=False,
+        name="8b_stage2_bs2_v16", mu_dtype="bfloat16"),
     # 13B (pretrain/finetune_cambrian_13b.sh): BASELINE config #3 — same
     # (1,8,1) mesh as 8B, Vicuna geometry (image_position 35, stride 4)
     "13b_stage1": lambda: _compile_train(

@@ -182,7 +182,7 @@ def _tree_bytes(tree):
 # ---------------------------------------------------------------------------
 
 def _compile_train(cfg, mesh_shape, per_device_bs, stage1, name,
-                   donate=True, mu_dtype=None):
+                   donate=True, mu_dtype=None, accum=None):
     from cambrian_tpu.parallel.mesh import MeshConfig, create_mesh
     from cambrian_tpu.parallel.sharding import infer_param_shardings
     from cambrian_tpu.train.optimizer import TrainConfig
@@ -225,6 +225,19 @@ def _compile_train(cfg, mesh_shape, per_device_bs, stage1, name,
     from cambrian_tpu.train.train_step import TrainState
     from cambrian_tpu.train.optimizer import build_optimizer
     tx, _ = build_optimizer(param_shapes, tconf)
+    if accum and accum > 1:
+        # accumulation-faithful: the trainer wraps tx in optax.MultiSteps
+        # (trainer.py:311), whose state adds a params-sized fp32 grad
+        # accumulator — a real share of the per-device argument budget the
+        # unwrapped compile understates
+        import optax
+
+        tx = optax.MultiSteps(tx, accum)
+        opt_shapes = jax.eval_shape(tx.init, param_shapes)
+        state_shapes = jax.eval_shape(
+            lambda p, o: TrainState(step=jnp.zeros((), jnp.int32), params=p,
+                                    opt_state=o, tx=None),
+            param_shapes, opt_shapes)
     state_shapes = TrainState(step=state_shapes.step,
                               params=state_shapes.params,
                               opt_state=state_shapes.opt_state, tx=tx)
@@ -411,6 +424,19 @@ CONFIGS = {
     "8b_stage2_bs2_v16": lambda: _compile_train(
         _cfg_8b(scan_layers=True), (1, 16, 1), 2, stage1=False,
         name="8b_stage2_bs2_v16", mu_dtype="bfloat16"),
+    # accumulation-faithful candidate geometries (global 64 per optimizer
+    # step, like finetune_cambrian_8b.sh): MultiSteps' fp32 accumulator is
+    # in the argument budget here
+    "8b_stage2_bs1_accum4_v16": lambda: _compile_train(
+        _cfg_8b(scan_layers=True), (1, 16, 1), 1, stage1=False,
+        name="8b_stage2_bs1_accum4_v16", mu_dtype="bfloat16", accum=4),
+    "8b_stage2_bs2_accum2_v16": lambda: _compile_train(
+        _cfg_8b(scan_layers=True), (1, 16, 1), 2, stage1=False,
+        name="8b_stage2_bs2_accum2_v16", mu_dtype="bfloat16", accum=2),
+    # v5e-32 (4x8): global 64 with no accumulation
+    "8b_stage2_bs2_v32": lambda: _compile_train(
+        _cfg_8b(scan_layers=True), (1, 32, 1), 2, stage1=False,
+        name="8b_stage2_bs2_v32", mu_dtype="bfloat16"),
     # 13B (pretrain/finetune_cambrian_13b.sh): BASELINE config #3 — same
     # (1,8,1) mesh as 8B, Vicuna geometry (image_position 35, stride 4)
     "13b_stage1": lambda: _compile_train(

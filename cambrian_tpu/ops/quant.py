@@ -254,8 +254,10 @@ def _q4_matmul_kernel_v3(x_ref, w_ref, scale_ref, o_ref, acc_ref, *,
     x = x_ref[0]                                    # [bm, bk]
     w4 = pltpu.bitcast(w_ref[0], jnp.int4)          # [bk, bn], original order
     if dequant == "magic":
-        u16 = (w4.astype(jnp.int8) + jnp.int8(8)).astype(jnp.uint16)
-        w = pltpu.bitcast(u16 | jnp.uint16(0x4300), jnp.bfloat16)
+        # Mosaic vector integer add/or need i16/i32 lanes (i8 addi fails to
+        # lower on v5e); (q+8)|0x4300 fits int16 and bitcasts to bf16 136+q
+        i16 = w4.astype(jnp.int16) + jnp.int16(8)
+        w = pltpu.bitcast(i16 | jnp.int16(0x4300), jnp.bfloat16)
         w = (w - jnp.bfloat16(136.0)).astype(x.dtype)
     elif dequant == "via_int8":
         w = w4.astype(jnp.int8).astype(x.dtype)

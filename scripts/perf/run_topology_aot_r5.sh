@@ -3,12 +3,13 @@
 # buffer assignment for the flagship train configs post-chunked-CE, plus the
 # 34B serve meshes. Each config runs in its own python process so a failure
 # (RESOURCE_EXHAUSTED prints + nonzero exit) doesn't stop the sweep.
-# Results append to /tmp/production_compile.jsonl; copy to
-# docs/production_compile_r5.jsonl when done.
+# Results append DIRECTLY to docs/production_compile_r5.jsonl (durable —
+# the r5 /tmp rows were lost to a reboot); commit after each batch.
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 export PRODUCTION_COMPILE_TOPOLOGY=${PRODUCTION_COMPILE_TOPOLOGY:-v5e:2x4}
+export PRODUCTION_COMPILE_RESULTS=${PRODUCTION_COMPILE_RESULTS:-/root/repo/docs/production_compile_r5.jsonl}
 LOG=${LOG:-/tmp/topology_aot_r5.log}
 for cfg in "$@"; do
   echo "=== $(date -u +%H:%M:%S) start $cfg ===" | tee -a "$LOG"

@@ -71,7 +71,11 @@ def _devices(n):
 
 V5E_HBM = 16 * 1024 ** 3  # bytes per v5e chip
 
-RESULTS_PATH = "/tmp/production_compile.jsonl"
+# CPU-backend pytest runs scratch to /tmp; topology sweeps set
+# PRODUCTION_COMPILE_RESULTS to a committed docs/ path (VERDICT r4 weak #7:
+# the r4/r5 topology rows lived only in /tmp and were lost to a reboot).
+RESULTS_PATH = os.environ.get("PRODUCTION_COMPILE_RESULTS",
+                              "/tmp/production_compile.jsonl")
 
 
 def _sds(shape, dtype):

@@ -361,12 +361,16 @@ def int4_matmul(x: jnp.ndarray, w_q4: jnp.ndarray, scale: jnp.ndarray,
                               memory_space=pltpu.VMEM)
     # v3 (partial-sum scaling) is the default: 41.5 vs 33.8 tok/s at 13B-int4
     # serving (docs/PERF_NOTES.md r4). CAMBRIAN_INT4_V2=1 keeps v2 for A/B;
-    # CAMBRIAN_INT4_DEQUANT=magic|via_int8 selects the v3 dequant variant.
+    # CAMBRIAN_INT4_DEQUANT=convert|magic|via_int8 selects the v3 dequant
+    # variant. r5 on-chip A/B at 13B int4 serving: via_int8 41.8 tok/s >
+    # convert 40.9 > magic 30.3 (the bitwise bf16 trick needs an i16 widen
+    # on v5e, which costs more than the convert it removes) — via_int8 is
+    # the default.
     kern = (_q4_matmul_kernel_v2
             if os.environ.get("CAMBRIAN_INT4_V2", "0") == "1"
             else functools.partial(
                 _q4_matmul_kernel_v3,
-                dequant=os.environ.get("CAMBRIAN_INT4_DEQUANT", "convert")))
+                dequant=os.environ.get("CAMBRIAN_INT4_DEQUANT", "via_int8")))
     out = pl.pallas_call(
         functools.partial(kern, k_blocks=k_blocks, gpb=gpb),
         grid=grid,

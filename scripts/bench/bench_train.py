@@ -52,11 +52,14 @@ def main():
     if stage2:
         # stage-2-faithful slice: REAL llama-3 vocab (chunked CE active at
         # its production shape), bf16 Adam mu like the launch script; the
-        # decoder is the largest that fits fp32 v + params on one chip
+        # decoder is the largest that fits fp32 master + fp32 v on one chip.
+        # At 128256 vocab the embed+head pair alone is 10 B/param of state:
+        # hidden 2048 OOM'd by 3.8 GiB (19.54/15.75, log r5); 1536 with
+        # head_dim 128 (12 heads) is the fitting width.
         cfg = CambrianConfig(**{**CAMBRIAN_SVA, **dict(
-            model_type="llama", vocab_size=128256, hidden_size=2048,
-            intermediate_size=5504, num_hidden_layers=8,
-            num_attention_heads=16, num_key_value_heads=8, rms_norm_eps=1e-5,
+            model_type="llama", vocab_size=128256, hidden_size=1536,
+            intermediate_size=4096, num_hidden_layers=8,
+            num_attention_heads=12, num_key_value_heads=6, rms_norm_eps=1e-5,
             rope_theta=500000.0, tokenizer_model_max_length=SEQ,
             image_position=35, scan_layers=True, remat=True,
         )})
